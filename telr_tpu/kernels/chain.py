@@ -1,0 +1,107 @@
+"""Anchor chaining (minimap2-style DP) for the seed-chain-extend aligner.
+
+Given (query_pos, target_pos) seed anchors on one (target sequence, strand),
+find high-scoring co-linear chains.  The scoring follows minimap2's chaining
+objective (alpha = new bases covered, beta = capped concave gap cost), with
+one deliberate deviation: query-side gaps (insertions in the read — the
+signal TELR exists to detect) are allowed up to `max_gap` with a *capped*
+penalty, so a read spanning a TE insertion yields ONE chain whose stitched
+DP emits the full-length I run, instead of a split alignment.  Target-side
+gaps larger than the DP band are disallowed (they become split alignments /
+deletions, which the pipeline does not consume — reference TELR_sv.py:163
+keeps only SVTYPE=INS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Chain:
+    qpos: np.ndarray     # anchor query starts (ascending)
+    tpos: np.ndarray     # anchor target starts (ascending)
+    score: float
+    k: int
+
+    @property
+    def n_anchors(self) -> int:
+        return len(self.qpos)
+
+    @property
+    def q_span(self):
+        return int(self.qpos[0]), int(self.qpos[-1]) + self.k
+
+    @property
+    def t_span(self):
+        return int(self.tpos[0]), int(self.tpos[-1]) + self.k
+
+
+def chain_anchors(
+    qpos: np.ndarray,
+    tpos: np.ndarray,
+    k: int,
+    max_gap: int = 5000,
+    max_target_skew: int = 384,
+    lookback: int = 64,
+    gap_cap: float = 40.0,
+    min_score: float = 40.0,
+    min_anchors: int = 3,
+    max_chains: int = 16,
+) -> List[Chain]:
+    """DP chaining over anchors of one (target, strand) group."""
+    n = len(qpos)
+    if n == 0:
+        return []
+    order = np.lexsort((qpos, tpos))
+    q = qpos[order].astype(np.int64)
+    t = tpos[order].astype(np.int64)
+
+    f = np.full(n, float(k))
+    parent = np.full(n, -1, dtype=np.int64)
+
+    for i in range(1, n):
+        j0 = max(0, i - lookback)
+        dq = q[i] - q[j0:i]
+        dt = t[i] - t[j0:i]
+        ok = (dq >= 1) & (dt >= 0) & (dq <= max_gap) & (dt <= max_gap) \
+            & ((dt - dq) <= max_target_skew)
+        if not ok.any():
+            continue
+        alpha = np.minimum(np.minimum(dq, dt), k).astype(np.float64)
+        dd = np.abs(dq - dt).astype(np.float64)
+        beta = np.where(dd > 0,
+                        np.minimum(0.01 * k * dd + 0.5 * np.log2(dd + 1),
+                                   gap_cap), 0.0)
+        cand = np.where(ok, f[j0:i] + alpha - beta, -np.inf)
+        best = int(np.argmax(cand))
+        if cand[best] > f[i]:
+            f[i] = cand[best]
+            parent[i] = j0 + best
+
+    # extract chains greedily by score, skipping used anchors
+    used = np.zeros(n, dtype=bool)
+    chains: List[Chain] = []
+    for i in np.argsort(-f):
+        if used[i] or f[i] < min_score:
+            continue
+        path = []
+        cur = int(i)
+        while cur != -1 and not used[cur]:
+            path.append(cur)
+            cur = int(parent[cur])
+        if len(path) < min_anchors:
+            for p in path:
+                used[p] = True
+            continue
+        path.reverse()
+        idx = np.array(path, dtype=np.int64)
+        used[idx] = True
+        chains.append(Chain(qpos=q[idx], tpos=t[idx], score=float(f[i]), k=k))
+        if len(chains) >= max_chains:
+            break
+    chains.sort(key=lambda c: -c.score)
+    return chains

@@ -1,0 +1,266 @@
+"""Seed–chain–extend long-read mapper.
+
+The single aligner that serves every aligner role in the reference pipeline
+(SURVEY.md §2b): read->genome (NGMLR/minimap2, TELR_alignment.py:9-100),
+INS-seq->contig and TE-library->contig (TELR_te.py:68-132), flank->reference
+asm10 (TELR_liftover.py:248-266), AF realignment (TELR_te.py:495-512) and the
+TE homology search replacing RepeatMasker (TELR_sv.py:254-273).
+
+Pipeline per query: minimizer sketch -> index lookup -> per-(target,strand)
+chaining -> one banded GLOBAL DP over the chain region (band follows the
+anchor guide path, so TE-insertion-sized I runs come out in one CIGAR) ->
+EXTEND DP at both ends -> PAF-equivalent record.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from telr_tpu.config import AlignPreset
+from telr_tpu.io.seqs import SeqDict, revcomp_codes
+from telr_tpu.kernels import dp
+from telr_tpu.kernels.chain import Chain, chain_anchors
+from telr_tpu.kernels.index import MinimizerIndex
+from telr_tpu.kernels.minimizer import minimizers
+
+
+@dataclasses.dataclass
+class Alignment:
+    """PAF-equivalent alignment record (fields consumed by the reference at
+    TELR_liftover.py:356-380 and TELR_te.py:89-95,136-142)."""
+
+    qname: str
+    qlen: int
+    qstart: int          # original query coordinates (strand-independent)
+    qend: int
+    strand: str          # '+' or '-'
+    tname: str
+    tlen: int
+    tstart: int
+    tend: int
+    matches: int         # residue matches (PAF col 10)
+    blocklen: int        # alignment block length (PAF col 11)
+    mapq: int
+    score: int
+    cigar: List[Tuple[str, int]]  # over strand-oriented query vs target
+    primary: bool = True
+
+    @property
+    def identity(self) -> float:
+        return self.matches / self.blocklen if self.blocklen else 0.0
+
+    def paf_row(self) -> str:
+        return "\t".join(str(x) for x in (
+            self.qname, self.qlen, self.qstart, self.qend, self.strand,
+            self.tname, self.tlen, self.tstart, self.tend, self.matches,
+            self.blocklen, self.mapq))
+
+
+class Aligner:
+    """Index a target SeqDict once; map many queries."""
+
+    def __init__(self, targets: SeqDict, preset: AlignPreset,
+                 max_occ: int = 512):
+        self.targets = targets
+        self.preset = preset
+        self.index = MinimizerIndex.build(targets, preset.k, preset.w,
+                                          max_occ=max_occ)
+        self._tcodes = {s.name: s.codes for s in targets}
+
+    # ------------------------------------------------------------------
+    def map_seq(self, qname: str, codes: np.ndarray,
+                max_hits: Optional[int] = None) -> List[Alignment]:
+        pre = self.preset
+        qlen = len(codes)
+        if qlen < pre.k:
+            return []
+        qpos, qh, qstrand = minimizers(codes, pre.k, pre.w)
+        if len(qpos) == 0:
+            return []
+        q_idx, t_gpos, t_strand = self.index.lookup(qh)
+        if len(q_idx) == 0:
+            return []
+        sid, t_local = self.index.seq_of_gpos(t_gpos)
+        rel_strand = (qstrand[q_idx] != t_strand).astype(np.int64)  # 1 = '-'
+        a_qpos = qpos[q_idx]
+
+        chains: List[Tuple[Chain, int, int]] = []  # (chain, seq_id, strand)
+        for s_id in np.unique(sid):
+            for st in (0, 1):
+                m = (sid == s_id) & (rel_strand == st)
+                if m.sum() < pre.min_chain_anchors:
+                    continue
+                aq = a_qpos[m]
+                at = t_local[m]
+                if st == 1:
+                    aq = qlen - pre.k - aq  # revcomp query coords
+                cs = chain_anchors(
+                    aq, at, pre.k,
+                    max_gap=pre.max_anchor_gap,
+                    max_target_skew=max(256, pre.band_width - 128),
+                    min_score=pre.min_chain_score,
+                    min_anchors=pre.min_chain_anchors,
+                    max_chains=pre.max_secondary + 4)
+                chains.extend((c, int(s_id), st) for c in cs)
+
+        if not chains:
+            return []
+        chains.sort(key=lambda x: -x[0].score)
+
+        # primary/secondary classification by query overlap
+        picked: List[Tuple[Chain, int, int, bool, float]] = []
+        for c, s_id, st in chains:
+            qs, qe = c.q_span
+            if st == 1:
+                qs, qe = qlen - qe, qlen - qs
+            overlap_best = 0.0
+            is_secondary = False
+            for (pc, ps_id, pst, pprim, _) in picked:
+                pqs, pqe = pc.q_span
+                if pst == 1:
+                    pqs, pqe = qlen - pqe, qlen - pqs
+                ov = min(qe, pqe) - max(qs, pqs)
+                if ov > 0.5 * (qe - qs):
+                    is_secondary = True
+                    overlap_best = max(overlap_best, pc.score)
+            picked.append((c, s_id, st, not is_secondary, overlap_best))
+
+        n_secondary = 0
+        out: List[Alignment] = []
+        for c, s_id, st, primary, _ in picked:
+            if not primary:
+                n_secondary += 1
+                if n_secondary > pre.max_secondary:
+                    continue
+            aln = self._align_chain(qname, codes, c, s_id, st, primary)
+            if aln is None:
+                continue
+            if aln.identity < pre.min_identity:
+                continue
+            out.append(aln)
+            if max_hits and len(out) >= max_hits:
+                break
+
+        # mapq: best vs runner-up on the same query region
+        self._assign_mapq(out)
+        return out
+
+    # ------------------------------------------------------------------
+    def _align_chain(self, qname: str, codes: np.ndarray, chain: Chain,
+                     s_id: int, strand: int, primary: bool
+                     ) -> Optional[Alignment]:
+        pre = self.preset
+        qlen = len(codes)
+        tname = self.index.seq_names[s_id]
+        tcodes = self._tcodes[tname]
+        tlen = len(tcodes)
+        qc = revcomp_codes(codes) if strand else codes
+        params = dp.DPParams(match=pre.match, mismatch=pre.mismatch,
+                             gap_open=pre.gap_open, gap_extend=pre.gap_extend)
+
+        qs, qe = chain.q_span
+        ts, te = chain.t_span
+        qe = min(qe, qlen)
+        te = min(te, tlen)
+
+        # region DP with anchor-guided band
+        link_dt = np.diff(chain.tpos) if chain.n_anchors > 1 else np.zeros(1)
+        wneed = int(max(256, (link_dt.max() if len(link_dt) else 0) + 160))
+        width = min(dp._bucket(wneed), 2048)
+        sub_q = qc[qs:qe]
+        sub_t = tcodes[ts:te]
+        off = dp.offsets_from_path(len(sub_q), len(sub_t), width,
+                                   chain.qpos - qs, chain.tpos - ts)
+        try:
+            res = dp.align_pair(sub_q, sub_t, dp.GLOBAL, params, width=width,
+                                off=off)
+        except RuntimeError:
+            return None
+        if res["score"] <= dp.NEG_INF // 2:
+            return None
+        cigar = list(res["cigar"])
+        score = res["score"]
+
+        # right extension
+        ext_t_len = min(tlen - te, (qlen - qe) + 500)
+        qr_cap = min(qlen - qe, ext_t_len + pre.band_width)
+        if qr_cap > 0 and ext_t_len > 0:
+            r = dp.align_pair(qc[qe:qe + qr_cap], tcodes[te:te + ext_t_len],
+                              dp.EXTEND, params)
+            cigar = _merge_cigar(cigar, r["cigar"])
+            qe += r["qend"]
+            te += r["tend"]
+            score += r["score"]
+
+        # left extension (reverse both)
+        ext_t_len = min(ts, qs + 500)
+        ql_cap = min(qs, ext_t_len + pre.band_width)
+        if ql_cap > 0 and ext_t_len > 0:
+            lq = qc[qs - ql_cap:qs][::-1].copy()
+            lt = tcodes[ts - ext_t_len:ts][::-1].copy()
+            r = dp.align_pair(lq, lt, dp.EXTEND, params)
+            left_cigar = list(reversed(r["cigar"]))
+            cigar = _merge_cigar(left_cigar, cigar)
+            qs -= r["qend"]
+            ts -= r["tend"]
+            score += r["score"]
+
+        matches = dp.count_matches(qc, tcodes, cigar, qs, ts)
+        nm, ni, nd, blk = dp.cigar_stats(cigar)
+        if blk == 0:
+            return None
+        # report original-strand query coords
+        if strand:
+            oqs, oqe = qlen - qe, qlen - qs
+        else:
+            oqs, oqe = qs, qe
+        return Alignment(
+            qname=qname, qlen=qlen, qstart=int(oqs), qend=int(oqe),
+            strand="-" if strand else "+", tname=tname, tlen=tlen,
+            tstart=int(ts), tend=int(te), matches=int(matches),
+            blocklen=int(blk), mapq=0, score=int(score), cigar=cigar,
+            primary=primary)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _assign_mapq(alns: List[Alignment]) -> None:
+        for a in alns:
+            if not a.primary:
+                a.mapq = 0
+                continue
+            s2 = 0
+            for b in alns:
+                if b is a:
+                    continue
+                ov = min(a.qend, b.qend) - max(a.qstart, b.qstart)
+                if ov > 0.5 * (a.qend - a.qstart):
+                    s2 = max(s2, b.score)
+            if a.score <= 0:
+                a.mapq = 0
+            else:
+                frac = 1.0 - (s2 / a.score)
+                a.mapq = int(max(0, min(60, round(60 * frac))))
+
+    # ------------------------------------------------------------------
+    def map_all(self, queries: SeqDict, max_hits: Optional[int] = None
+                ) -> Dict[str, List[Alignment]]:
+        return {s.name: self.map_seq(s.name, s.codes, max_hits=max_hits)
+                for s in queries}
+
+
+def _merge_cigar(a: List[Tuple[str, int]], b: List[Tuple[str, int]]
+                 ) -> List[Tuple[str, int]]:
+    if not a:
+        return list(b)
+    if not b:
+        return list(a)
+    out = list(a)
+    if out[-1][0] == b[0][0]:
+        out[-1] = (out[-1][0], out[-1][1] + b[0][1])
+        out.extend(b[1:])
+    else:
+        out.extend(b)
+    return out

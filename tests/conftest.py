@@ -1,0 +1,14 @@
+import os
+
+# Run all tests on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (see SURVEY.md §4).
+# hard override: the session env presets JAX_PLATFORMS=axon (remote TPU);
+# tests must compile locally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
