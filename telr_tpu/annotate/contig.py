@@ -1,0 +1,150 @@
+"""Contig TE annotation: locate the TE interval on each assembled contig.
+
+Port of the reference's annotate_contig (TELR_te.py:21-381):
+
+  1. map each locus' Sniffles INS sequence to its contig (minimap2 -cx map-pb
+     --secondary=no, TELR_te.py:68-78) -> seq2contig intervals,
+  2. map the TE library to each contig (TELR_te.py:118-132) -> te2contig
+     intervals with family + strand,
+  3. bedtools intersect -wao between them, keep TE-contig hits overlapping
+     the INS-seq placement by >10bp (TELR_te.py:146-175),
+  4. bedtools merge -d 10000 with distinct collapse of family/strand
+     (TELR_te.py:199-230); mixed strands become '.',
+  5. extract TE sequences (bedtools getfasta naming 'contig:start-end',
+     TELR_te.py:254-265).
+
+Family labels come from the aligner (the --minimap2_family path,
+TELR_te.py:110-142); a RepeatMasker-style re-annotation using the LOCAL
+library aligner is available via `reannotate_families`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from telr_tpu.config import AnnotateConfig, AlignPreset, LIB_TO_SEQ
+from telr_tpu.io.seqs import SeqDict, Sequence, encode
+from telr_tpu.kernels.mapper import Aligner
+from telr_tpu.ops.intervals import Intervals, intersect_wao, merge_intervals
+from telr_tpu.sv.detect import SVRecord
+from telr_tpu.utils.evallog import LociEval
+
+
+def annotate_contigs(
+    contigs: SeqDict,
+    passed_loci: Set[str],
+    library: SeqDict,
+    records: List[SVRecord],
+    read_preset: AlignPreset,
+    cfg: AnnotateConfig,
+    loci_eval: LociEval,
+) -> Tuple[Intervals, SeqDict]:
+    """Returns (contig TE annotation intervals with family/strand cols,
+    TE sequences named 'contig:start-end')."""
+    rec_by_locus = {r.locus_name: r for r in records}
+
+    # 1. INS seq -> contig (primary only)
+    seq2contig_rows = []
+    seq2contig_passed: Set[str] = set()
+    for locus in sorted(passed_loci):
+        rec = rec_by_locus.get(locus)
+        if rec is None or locus not in contigs:
+            continue
+        target = SeqDict([contigs[locus]])
+        aligner = Aligner(target, read_preset)
+        hits = [a for a in aligner.map_seq(locus, encode(rec.seq))
+                if a.primary]
+        if not hits:
+            continue
+        best = max(hits, key=lambda a: a.score)
+        seq2contig_rows.append((best.tname, best.tstart, best.tend,
+                                locus, best.mapq, best.strand))
+        seq2contig_passed.add(locus)
+    seq2contig = Intervals.from_rows(seq2contig_rows,
+                                     ("name", "score", "strand"))
+
+    # 2. TE library -> contig
+    te2contig_rows = []
+    for locus in sorted(seq2contig_passed):
+        target = SeqDict([contigs[locus]])
+        aligner = Aligner(target, read_preset)
+        for s in library:
+            for a in aligner.map_seq(s.name, s.codes):
+                te2contig_rows.append((a.tname, a.tstart, a.tend,
+                                       s.name, a.mapq, a.strand))
+    te2contig = Intervals.from_rows(te2contig_rows,
+                                    ("family", "score", "strand"))
+
+    # 3. intersect -wao, keep overlap > min_seq_overlap
+    kept_rows = []
+    for a_idx, b_idx, ov in intersect_wao(te2contig, seq2contig):
+        if b_idx >= 0 and ov > cfg.min_seq_overlap:
+            kept_rows.append(te2contig.row(a_idx))
+    kept = Intervals.from_rows(kept_rows, ("family", "score", "strand")).sort()
+
+    # loci whose INS placement has no overlapping TE annotation
+    overlap_loci = set(kept.chrom)
+    for locus in sorted(seq2contig_passed):
+        if locus not in overlap_loci:
+            loci_eval.add(locus,
+                          "VCF sequence doesn't overlap contig annotation")
+
+    # 4. merge -d merge_dist, distinct family/strand
+    merged = merge_intervals(kept, dist=cfg.merge_dist,
+                             collapse={"family": "distinct",
+                                       "strand": "distinct"}, delim="|")
+    ann_rows = []
+    for i in range(len(merged)):
+        strand = merged.cols["strand"][i]
+        if strand not in ("+", "-"):
+            strand = "."
+        ann_rows.append((merged.chrom[i], int(merged.start[i]),
+                         int(merged.end[i]), merged.cols["family"][i],
+                         ".", strand))
+    annotation = Intervals.from_rows(ann_rows,
+                                     ("family", "score", "strand")).sort()
+
+    # 5. TE sequences (bedtools getfasta naming)
+    te_seqs = SeqDict()
+    for i in range(len(annotation)):
+        cname = annotation.chrom[i]
+        s, e = int(annotation.start[i]), int(annotation.end[i])
+        te_seqs.add(Sequence(
+            name=f"{cname}:{s}-{e}",
+            codes=contigs[cname].slice(s, e)))
+    return annotation, te_seqs
+
+
+def reannotate_families(
+    annotation: Intervals,
+    te_seqs: SeqDict,
+    library: SeqDict,
+    preset: AlignPreset = LIB_TO_SEQ,
+) -> Intervals:
+    """RepeatMasker-style family re-annotation of the contig TE sequences
+    (reference TELR_te.py:267-370): align each extracted TE sequence against
+    the library and replace the family label with the distinct '|'-joined
+    labels of the hits, dropping annotations with no hit."""
+    aligner = Aligner(library, preset)
+    fam_by_contig: Dict[str, str] = {}
+    for s in te_seqs:
+        contig_name = s.name.rsplit(":", 1)[0]
+        hits = aligner.map_seq(s.name, s.codes)
+        if not hits:
+            continue
+        fams: List[str] = []
+        for a in sorted(hits, key=lambda a: a.tstart):
+            if a.tname not in fams:
+                fams.append(a.tname)
+        fam_by_contig[contig_name] = "|".join(sorted(fams))
+    rows = []
+    for i in range(len(annotation)):
+        cname = annotation.chrom[i]
+        if cname not in fam_by_contig:
+            continue
+        rows.append((cname, int(annotation.start[i]), int(annotation.end[i]),
+                     fam_by_contig[cname], ".",
+                     annotation.cols["strand"][i]))
+    return Intervals.from_rows(rows, ("family", "score", "strand"))

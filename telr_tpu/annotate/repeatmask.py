@@ -1,0 +1,39 @@
+"""Reference-genome repeat annotation with the TE consensus library.
+
+Replaces RepeatMasker on the whole reference (reference TELR_te.py:391-433 +
+gff3tobed TELR_te.py:436-468): every genomic copy of each library consensus
+becomes an interval (chrom, start, end, family, '.', strand), sorted — the
+`ref_te_bed` the liftover stage uses to distinguish reference from
+non-reference TEs (check_nearby_ref, TELR_liftover.py:288-340).
+
+Implementation: the library consensi are mapped against the indexed genome
+with the homology-search preset (many secondaries kept, local-identity
+filtered) using the shared seed-chain-extend core — the rmblast role.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from telr_tpu.config import LIB_TO_SEQ, AlignPreset
+from telr_tpu.io.seqs import SeqDict
+from telr_tpu.kernels.mapper import Aligner
+from telr_tpu.ops.intervals import Intervals
+import dataclasses
+
+
+def repeatmask_reference(
+    reference: SeqDict,
+    library: SeqDict,
+    preset: Optional[AlignPreset] = None,
+    max_copies: int = 1000,
+) -> Intervals:
+    """Annotate all library-homologous intervals on the reference."""
+    if preset is None:
+        preset = dataclasses.replace(LIB_TO_SEQ, max_secondary=max_copies)
+    aligner = Aligner(reference, preset, max_occ=4096)
+    rows = []
+    for s in library:
+        for a in aligner.map_seq(s.name, s.codes, max_hits=max_copies):
+            rows.append((a.tname, a.tstart, a.tend, s.name, ".", a.strand))
+    return Intervals.from_rows(rows, ("family", "score", "strand")).sort()

@@ -1,0 +1,159 @@
+"""Per-locus local assembly: backbone + batched-realignment pileup consensus.
+
+Replaces wtdbg2 + wtpoa-cns and the minimap2/wtpoa polish loop (reference
+TELR_assembly.py:104-366).  TELR assembles each candidate locus from its
+supporting reads (wtdbg2 -x rs -g 30k, then wtpoa-cns, then `polish_iterations`
+rounds of realign+consensus).  Here:
+
+  1. backbone selection — the supporting read with the median length (robust
+     representative; every SV read contains the insertion),
+  2. all supporting reads are aligned to the backbone with the shared DP core,
+  3. a pileup vote per backbone column (match/substitution votes, deletion
+     votes, insertion sequences keyed by column) produces the consensus,
+  4. step 2-3 repeat `polish_iterations` times against the new consensus
+     (realign+re-vote == the reference's minimap2 | wtpoa-cns -d polish loop,
+     TELR_assembly.py:185-260).
+
+The per-locus result is named `<chr>_<start>_<end>` like the reference's
+renamed ctg1 contigs (TELR_assembly.py:82-98).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from telr_tpu.config import AlignPreset, AssemblyConfig
+from telr_tpu.io.seqs import SeqDict, Sequence, revcomp_codes
+from telr_tpu.kernels.mapper import Aligner, Alignment
+from telr_tpu.sv.detect import SVRecord
+from telr_tpu.utils.evallog import LociEval
+
+
+def _oriented(a: Alignment, codes: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Strand-oriented query codes and aligned-region start in that frame."""
+    if a.strand == "-":
+        return revcomp_codes(codes), a.qlen - a.qend
+    return codes, a.qstart
+
+
+def consensus_vote(backbone: np.ndarray,
+                   alignments: List[Tuple[Alignment, np.ndarray]],
+                   min_cov: int = 2) -> np.ndarray:
+    """Pileup consensus over a backbone.
+
+    alignments: (Alignment vs backbone, original read codes).
+    Returns consensus codes.  Ends with coverage < min_cov are trimmed when
+    more than two reads support the locus.
+    """
+    n = len(backbone)
+    base_votes = np.zeros((n, 5), dtype=np.int32)
+    del_votes = np.zeros(n, dtype=np.int32)
+    cov = np.zeros(n, dtype=np.int32)
+    ins_seqs: Dict[int, List[np.ndarray]] = {}
+
+    for a, codes in alignments:
+        qc, qi = _oriented(a, codes)
+        tj = a.tstart
+        for op, ln in a.cigar:
+            if op == "M":
+                idx = np.arange(tj, tj + ln)
+                np.add.at(base_votes, (idx, qc[qi:qi + ln].astype(np.int64)), 1)
+                cov[tj:tj + ln] += 1
+                qi += ln
+                tj += ln
+            elif op == "I":
+                ins_seqs.setdefault(tj, []).append(qc[qi:qi + ln])
+                qi += ln
+            elif op == "D":
+                del_votes[tj:tj + ln] += 1
+                cov[tj:tj + ln] += 1
+                tj += ln
+
+    out: List[np.ndarray] = []
+    n_reads = len(alignments)
+    # trim low-coverage tips
+    covered = np.nonzero(cov >= (min_cov if n_reads > 2 else 1))[0]
+    if covered.size == 0:
+        return np.zeros(0, dtype=np.int8)
+    lo, hi = int(covered[0]), int(covered[-1]) + 1
+
+    for j in range(lo, hi):
+        # insertions sit before column j
+        if j in ins_seqs and j > lo:
+            seqs = ins_seqs[j]
+            if 2 * len(seqs) > int(cov[j]):
+                lens = sorted(len(s) for s in seqs)
+                med = lens[len(lens) // 2]
+                rep = min(seqs, key=lambda s: abs(len(s) - med))
+                out.append(rep.astype(np.int8))
+        if del_votes[j] * 2 > int(cov[j]):
+            continue
+        votes = base_votes[j]
+        if votes.sum() == 0:
+            out.append(backbone[j:j + 1])
+            continue
+        best = int(np.argmax(votes))
+        # tie goes to the backbone base
+        if votes[best] == votes[backbone[j]]:
+            best = int(backbone[j])
+        out.append(np.array([best], dtype=np.int8))
+    if not out:
+        return np.zeros(0, dtype=np.int8)
+    return np.concatenate(out).astype(np.int8)
+
+
+def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
+                   preset: AlignPreset, cfg: AssemblyConfig
+                   ) -> Optional[Sequence]:
+    """Assemble one locus from its supporting reads."""
+    avail = [r for r in read_names if r in reads]
+    if len(avail) < cfg.min_reads:
+        return None
+    avail = avail[: cfg.max_reads]
+    lens = sorted(avail, key=lambda r: len(reads[r]))
+    backbone_name = lens[len(lens) // 2]
+    backbone = reads[backbone_name].codes
+    if len(backbone) > cfg.max_locus_span:
+        backbone = backbone[: cfg.max_locus_span]
+
+    consensus = backbone
+    rounds = 1 + max(0, cfg.polish_iterations)
+    for _ in range(rounds):
+        target = SeqDict([Sequence(locus_name, consensus)])
+        aligner = Aligner(target, preset)
+        alns: List[Tuple[Alignment, np.ndarray]] = []
+        for rn in avail:
+            hits = [h for h in aligner.map_seq(rn, reads[rn].codes)
+                    if h.primary]
+            if not hits:
+                continue
+            best = max(hits, key=lambda h: h.score)
+            alns.append((best, reads[rn].codes))
+        if not alns:
+            return None
+        new_consensus = consensus_vote(consensus, alns)
+        if new_consensus.size == 0:
+            return None
+        if np.array_equal(new_consensus, consensus):
+            break
+        consensus = new_consensus
+    return Sequence(locus_name, consensus, description=f"len={len(consensus)}")
+
+
+def assemble_all(records: List[SVRecord], reads: SeqDict,
+                 preset: AlignPreset, cfg: AssemblyConfig,
+                 loci_eval: LociEval) -> Tuple[SeqDict, Set[str]]:
+    """Assemble every candidate locus (reference get_local_contigs,
+    TELR_assembly.py:13-101).  Returns (contigs, assembly_passed_loci)."""
+    contigs = SeqDict()
+    passed: Set[str] = set()
+    for rec in records:
+        ctg = assemble_locus(rec.locus_name, rec.reads, reads, preset, cfg)
+        if ctg is None:
+            loci_eval.add(rec.locus_name, "local assembly failed")
+            continue
+        contigs.add(ctg)
+        passed.add(rec.locus_name)
+    return contigs, passed

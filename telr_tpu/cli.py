@@ -1,0 +1,101 @@
+"""telr-tpu command line interface.
+
+Mirrors the reference `telr` CLI surface (TELR_input.py:10-256): same required
+arguments, same tunables, same defaults.  Aligner/assembler/polisher choices
+are accepted for compatibility; all of them resolve to the built-in TPU
+kernels (there are no external tools to choose between).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from telr_tpu.config import (AFConfig, AssemblyConfig, LiftoverConfig,
+                             SVConfig, TELRConfig)
+from telr_tpu.pipeline import run_pipeline
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="TPU-native program for detecting non-reference TEs in "
+                    "long read data")
+    required = p.add_argument_group("required arguments")
+    required.add_argument("-i", "--reads", required=True,
+                          help="reads in fasta/fastq format")
+    required.add_argument("-r", "--reference", required=True,
+                          help="reference genome in fasta format")
+    required.add_argument("-l", "--library", required=True,
+                          help="TE consensus sequences in fasta format")
+    p.add_argument("--aligner", default="native",
+                   help="compat option; the built-in aligner is always used")
+    p.add_argument("--assembler", default="native",
+                   help="compat option; the built-in assembler is always used")
+    p.add_argument("--polisher", default="native",
+                   help="compat option; the built-in polisher is always used")
+    p.add_argument("-x", "--presets", default="pacbio",
+                   choices=["pacbio", "ont"])
+    p.add_argument("-p", "--polish_iterations", type=int, default=1)
+    p.add_argument("-o", "--out", default=".")
+    p.add_argument("-t", "--thread", type=int, default=1)
+    p.add_argument("-g", "--gap", type=int, default=20,
+                   help="max gap size for flanking sequence alignment")
+    p.add_argument("-v", "--overlap", type=int, default=20,
+                   help="max overlap size for flanking sequence alignment")
+    p.add_argument("--flank_len", type=int, default=500)
+    p.add_argument("--af_flank_interval", type=int, default=100)
+    p.add_argument("--af_flank_offset", type=int, default=200)
+    p.add_argument("--af_te_interval", type=int, default=50)
+    p.add_argument("--af_te_offset", type=int, default=50)
+    p.add_argument("--min_support", type=int, default=5,
+                   help="min supporting reads per insertion")
+    p.add_argument("--different_contig_name", action="store_true")
+    p.add_argument("--minimap2_family", action="store_true")
+    p.add_argument("-k", "--keep_files", action="store_true")
+    args = p.parse_args(argv)
+
+    for path in (args.reads, args.reference, args.library):
+        if not os.path.isfile(path):
+            print(f"Can not open input file: {path}", file=sys.stderr)
+            sys.exit(1)
+    if args.polish_iterations < 0:
+        print("Please provide a valid number of iterations for polishing, "
+              "exiting...", file=sys.stderr)
+        sys.exit(1)
+    return args
+
+
+def config_from_args(args) -> TELRConfig:
+    return TELRConfig(
+        presets=args.presets,
+        sv=SVConfig(min_support=args.min_support),
+        assembly=AssemblyConfig(polish_iterations=args.polish_iterations),
+        liftover=LiftoverConfig(flank_len=args.flank_len,
+                                flank_gap_max=args.gap,
+                                flank_overlap_max=args.overlap),
+        af=AFConfig(flank_interval=args.af_flank_interval,
+                    flank_offset=args.af_flank_offset,
+                    te_interval=args.af_te_interval,
+                    te_offset=args.af_te_offset),
+        minimap2_family=True,
+        different_contig_name=args.different_contig_name,
+        keep_files=args.keep_files,
+        threads=args.thread,
+    )
+
+
+def main(argv=None):
+    args = get_args(argv)
+    cfg = config_from_args(args)
+    cfg.validate()
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    result = run_pipeline(args.reads, args.reference, args.library, out, cfg)
+    print("TELR finished!")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -269,6 +269,95 @@ def _banded_dp_single(q, t, off, qlen, tlen, width, mode, params_tuple):
     return dirs, gscore, best, besti, bestp
 
 
+def _banded_dp_scores_single(q, t, off, qlen, tlen, width, mode,
+                             params_tuple):
+    """Score-only banded DP (no direction bits): the device-resident
+    throughput path for filtering/scoring, where traceback is not needed.
+    Same recurrence as _banded_dp_single."""
+    ma, mi, go, ge, amb = params_tuple
+    lq = q.shape[0]
+    p_idx = jnp.arange(width, dtype=jnp.int32)
+
+    j0 = off[0] + p_idx
+    if mode == LOCAL:
+        h0 = jnp.zeros((width,), jnp.int32)
+    else:
+        h0 = jnp.where(j0 == 0, 0, -(go + ge * j0)).astype(jnp.int32)
+    h0 = jnp.where(j0 <= tlen, h0, NEG_INF)
+    i0 = jnp.full((width,), NEG_INF, jnp.int32)
+
+    tpad = jnp.concatenate([
+        jnp.full((1,), 5, jnp.int8), t,
+        jnp.full((width + 1,), 5, jnp.int8)])
+    tmask_idx = jnp.arange(tpad.shape[0], dtype=jnp.int32) - 1
+    tpad = jnp.where((tmask_idx >= 0) & (tmask_idx < tlen), tpad, 5)
+
+    def scan_body(carry, xs):
+        h_prev, i_prev, best = carry
+        qi, off_i, d_i, row_i, valid_row = xs
+        t_band = jax.lax.dynamic_slice(tpad, (off_i,), (width,))
+        pad = jnp.full((width + 1,), NEG_INF, jnp.int32)
+        hbuf = jnp.concatenate([jnp.full((1,), NEG_INF, jnp.int32), h_prev, pad])
+        ibuf = jnp.concatenate([jnp.full((1,), NEG_INF, jnp.int32), i_prev, pad])
+        h_diag = jax.lax.dynamic_slice(hbuf, (d_i,), (width,))
+        h_up = jax.lax.dynamic_slice(hbuf, (d_i + 1,), (width,))
+        i_up = jax.lax.dynamic_slice(ibuf, (d_i + 1,), (width,))
+
+        i_open = jnp.where(h_up > NEG_INF // 2, h_up - go - ge, NEG_INF)
+        i_ext = jnp.where(i_up > NEG_INF // 2, i_up - ge, NEG_INF)
+        i_cur = jnp.maximum(i_open, i_ext)
+
+        s = jnp.where((qi == 4) | (t_band >= 4), jnp.int32(amb),
+                      jnp.where(t_band == qi, jnp.int32(ma), jnp.int32(-mi)))
+        diag = jnp.where(h_diag > NEG_INF // 2, h_diag + s, NEG_INF)
+        h_nod = jnp.maximum(diag, i_cur)
+        if mode == LOCAL:
+            h_nod = jnp.maximum(h_nod, 0)
+
+        j_col = off_i + p_idx
+        in_t = (j_col >= 1) & (j_col <= tlen)
+        at_zero = (j_col == 0)
+        h_zero = jnp.maximum(i_cur, 0) if mode == LOCAL else i_cur
+        h_nod = jnp.where(at_zero, h_zero, jnp.where(in_t, h_nod, NEG_INF))
+
+        g = jnp.where(h_nod > NEG_INF // 2,
+                      h_nod + ge * p_idx - go - ge, NEG_INF)
+        m = jax.lax.associative_scan(jnp.maximum, g)
+        m_excl = jnp.concatenate([jnp.full((1,), NEG_INF, jnp.int32), m[:-1]])
+        d_cur = jnp.where(m_excl > NEG_INF // 2, m_excl - ge * (p_idx - 1),
+                          NEG_INF)
+        d_cur = jnp.where(at_zero | ~in_t, NEG_INF, d_cur)
+        h_cur = jnp.maximum(h_nod, d_cur)
+
+        h_out = jnp.where(valid_row, h_cur, h_prev)
+        i_out = jnp.where(valid_row, i_cur, NEG_INF)
+        masked_h = jnp.where((in_t | at_zero) & valid_row, h_cur, NEG_INF)
+        best = jnp.maximum(best, jnp.max(masked_h))
+        return (h_out, i_out, best), None
+
+    rows_off = off[1:]
+    d_all = jnp.diff(off)
+    row_valid = (jnp.arange(1, lq + 1, dtype=jnp.int32) <= qlen)
+    xs = (q.astype(jnp.int32), rows_off, d_all,
+          jnp.arange(1, lq + 1, dtype=jnp.int32), row_valid)
+    init_best = jnp.int32(0 if mode != GLOBAL else NEG_INF)
+    (h_last, _, best), _ = jax.lax.scan(
+        scan_body, (h0, i0, init_best), xs)
+    p_end = tlen - off[lq]
+    p_end_c = jnp.clip(p_end, 0, width - 1)
+    gscore = jnp.where((p_end >= 0) & (p_end < width), h_last[p_end_c],
+                       NEG_INF)
+    return gscore, best
+
+
+@functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple"))
+def banded_dp_scores(q, t, off, qlen, tlen, *, width, mode, params_tuple):
+    """Batched score-only banded DP.  Returns (gscore (B,), best (B,))."""
+    fn = functools.partial(_banded_dp_scores_single, width=width, mode=mode,
+                           params_tuple=params_tuple)
+    return jax.vmap(fn)(q, t, off, qlen, tlen)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple"))
 def banded_dp_batch(q, t, off, qlen, tlen, *, width, mode, params_tuple):
     """vmapped banded DP over a batch.

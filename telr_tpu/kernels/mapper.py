@@ -140,6 +140,21 @@ class Aligner:
                 continue
             if aln.identity < pre.min_identity:
                 continue
+            # different chains can converge to the same placement after
+            # extension; a hit whose target interval largely overlaps an
+            # already-kept hit (same target+strand) is redundant, not a
+            # genuine secondary copy
+            redundant = False
+            for kept in out:
+                if kept.tname != aln.tname or kept.strand != aln.strand:
+                    continue
+                tov = min(kept.tend, aln.tend) - max(kept.tstart, aln.tstart)
+                shorter = min(kept.tend - kept.tstart, aln.tend - aln.tstart)
+                if shorter > 0 and tov >= 0.5 * shorter:
+                    redundant = True
+                    break
+            if redundant:
+                continue
             out.append(aln)
             if max_hits and len(out) >= max_hits:
                 break
@@ -236,8 +251,16 @@ class Aligner:
                 if b is a:
                     continue
                 ov = min(a.qend, b.qend) - max(a.qstart, b.qstart)
-                if ov > 0.5 * (a.qend - a.qstart):
-                    s2 = max(s2, b.score)
+                if ov <= 0.5 * (a.qend - a.qstart):
+                    continue
+                # a near-duplicate of the same target span is chain-extension
+                # convergence, not a genuine repeat copy: ignore for mapq
+                if b.tname == a.tname:
+                    tov = min(a.tend, b.tend) - max(a.tstart, b.tstart)
+                    shorter = min(a.tend - a.tstart, b.tend - b.tstart)
+                    if shorter > 0 and tov >= 0.9 * shorter:
+                        continue
+                s2 = max(s2, b.score)
             if a.score <= 0:
                 a.mapq = 0
             else:

@@ -1,0 +1,160 @@
+"""The telr_tpu pipeline driver.
+
+Mirrors the reference's four-stage flow (telr.py:22-189) with sharded arrays
+and in-memory records as the ABI instead of intermediate files:
+
+  stage 1a  read -> reference alignment           (TELR_alignment.alignment)
+  stage 1b  insertion detection + TE filter + merge  (TELR_sv)
+  stage 2   per-locus assembly + polish           (TELR_assembly)
+  stage 3a  contig TE annotation                  (TELR_te.annotate_contig)
+  stage 4   allele frequency                      (TELR_te.get_af)
+  ref mask  reference repeatmask -> ref TE bed    (TELR_te.repeatmask)
+  stage 3b  flank liftover + classification       (TELR_liftover.liftover)
+  output    VCF/JSON/BED/fasta                    (TELR_output.generate_output)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Set
+
+from telr_tpu.af.freq import estimate_af
+from telr_tpu.annotate.contig import annotate_contigs, reannotate_families
+from telr_tpu.annotate.repeatmask import repeatmask_reference
+from telr_tpu.assembly.local import assemble_all
+from telr_tpu.config import TELRConfig, default_config
+from telr_tpu.core.alignstore import AlignmentStore
+from telr_tpu.io.fasta import read_fasta, write_fasta
+from telr_tpu.io.seqs import SeqDict
+from telr_tpu.kernels.mapper import Aligner
+from telr_tpu.liftover.engine import liftover
+from telr_tpu.ops.intervals import Intervals
+from telr_tpu.report.output import generate_output
+from telr_tpu.sv.detect import SVRecord, detect_insertions
+from telr_tpu.sv.filter import filter_te_candidates
+from telr_tpu.sv.merge import merge_nearby_records
+from telr_tpu.utils.evallog import LociEval
+
+logger = logging.getLogger("telr_tpu")
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    sample_name: str
+    records: List[SVRecord]
+    contigs: SeqDict
+    contig_te: Intervals
+    te_freq: Dict[str, dict]
+    liftover_report: List[dict]
+    summary: dict
+    final_report: List[dict]
+    loci_eval: LociEval
+    stage_seconds: Dict[str, float]
+
+
+def run_pipeline(
+    reads_path: str,
+    reference_path: str,
+    library_path: str,
+    out_dir: str,
+    config: Optional[TELRConfig] = None,
+    sample_name: Optional[str] = None,
+) -> PipelineResult:
+    config = config or default_config()
+    os.makedirs(out_dir, exist_ok=True)
+    if sample_name is None:
+        sample_name = os.path.splitext(os.path.basename(reads_path))[0]
+
+    logging.basicConfig(
+        level=logging.INFO,
+        filename=os.path.join(out_dir, "TELR.log"),
+        filemode="w",
+        format="%(asctime)s: %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+    )
+
+    stage_seconds: Dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                logger.info("stage %s ...", name)
+                return self
+
+            def __exit__(self, *a):
+                stage_seconds[name] = time.time() - self.t0
+                logger.info("stage %s finished in %.2fs", name,
+                            stage_seconds[name])
+        return _T()
+
+    with timed("parse_input"):
+        reads = read_fasta(reads_path)
+        reference = read_fasta(reference_path)
+        library = read_fasta(library_path)
+    loci_eval = LociEval()
+
+    with timed("alignment"):
+        aligner = Aligner(reference, config.read_preset)
+        alns = []
+        for s in reads:
+            alns.extend(aligner.map_seq(s.name, s.codes))
+        store = AlignmentStore(alns)
+
+    with timed("sv_detection"):
+        records = detect_insertions(store, reads, config.sv, sample_name)
+
+    with timed("te_filter"):
+        records = filter_te_candidates(records, library, loci_eval)
+        records = merge_nearby_records(records, config.sv.merge_window)
+
+    with timed("assembly"):
+        contigs, passed = assemble_all(records, reads, config.read_preset,
+                                       config.assembly, loci_eval)
+
+    with timed("annotate_contig"):
+        contig_te, te_seqs = annotate_contigs(
+            contigs, passed, library, records, config.read_preset,
+            config.annotate, loci_eval)
+        if not config.minimap2_family:
+            contig_te = reannotate_families(contig_te, te_seqs, library)
+
+    with timed("allele_frequency"):
+        te_freq = estimate_af(records, contigs, contig_te, reads, store,
+                              config.read_preset, config.af, config.assembly)
+
+    with timed("ref_repeatmask"):
+        ref_te_bed = repeatmask_reference(reference, library)
+        if len(ref_te_bed) == 0:
+            ref_te_bed = None
+
+    with timed("liftover"):
+        lift_report, nonref_bed, summary = liftover(
+            contigs, reference, contig_te, ref_te_bed, config.liftover,
+            different_contig_name=config.different_contig_name,
+            telr_mode=True)
+
+    with timed("output"):
+        final = generate_output(
+            lift_report, te_freq, te_seqs, records, contig_te, contigs,
+            reference, out_dir, sample_name, ref_path=reference_path)
+        loci_eval.write(os.path.join(out_dir,
+                                     sample_name + ".loci_eval.tsv"))
+        with open(os.path.join(out_dir, "liftover_summary.json"), "w") as f:
+            json.dump(summary, f, indent=4, sort_keys=False)
+        with open(os.path.join(out_dir, "liftover_report.json"), "w") as f:
+            json.dump(lift_report, f, indent=4, sort_keys=False)
+
+    if not final:
+        print("No non-reference TE insertion found")
+        logger.info("TELR found no non-reference TE insertions")
+
+    return PipelineResult(
+        sample_name=sample_name, records=records, contigs=contigs,
+        contig_te=contig_te, te_freq=te_freq, liftover_report=lift_report,
+        summary=summary, final_report=final, loci_eval=loci_eval,
+        stage_seconds=stage_seconds)
