@@ -1,0 +1,135 @@
+"""SV detection, TE filter and merge unit tests."""
+
+import numpy as np
+import pytest
+
+from telr_tpu.config import MAP_PB, SVConfig
+from telr_tpu.core.alignstore import AlignmentStore
+from telr_tpu.io.seqs import SeqDict, Sequence, decode, revcomp_codes
+from telr_tpu.kernels.mapper import Aligner
+from telr_tpu.sv.detect import (InsSignature, cluster_signatures,
+                                detect_insertions, extract_signatures)
+from telr_tpu.sv.filter import filter_te_candidates
+from telr_tpu.sv.merge import merge_nearby_records
+from telr_tpu.sv.detect import SVRecord
+from telr_tpu.utils.evallog import LociEval
+
+
+def _mk_reads_with_insertion(rng, ref, ins, n_alt=6, n_ref=4, readlen=3000):
+    """Simulated reads: n_alt spanning the insertion at ref position 5000,
+    n_ref without it."""
+    reads = SeqDict()
+    ins_point = 5000
+    k = 0
+    for i in range(n_alt):
+        s = ins_point - rng.integers(800, readlen - 800)
+        seq = np.concatenate([ref[s:ins_point], ins,
+                              ref[ins_point:s + readlen]])
+        if i % 2 == 1:
+            seq = revcomp_codes(seq)
+        reads.add(Sequence(f"alt{k}", seq.astype(np.int8)))
+        k += 1
+    for i in range(n_ref):
+        s = ins_point - rng.integers(800, readlen - 800)
+        reads.add(Sequence(f"ref{k}", ref[s:s + readlen].copy()))
+        k += 1
+    return reads
+
+
+@pytest.fixture(scope="module")
+def sim():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 12_000).astype(np.int8)
+    ins = rng.integers(0, 4, 700).astype(np.int8)
+    refd = SeqDict([Sequence("chrT", ref)])
+    reads = _mk_reads_with_insertion(rng, ref, ins)
+    aligner = Aligner(refd, MAP_PB)
+    alns = []
+    for s in reads:
+        alns.extend(aligner.map_seq(s.name, s.codes))
+    return ref, ins, refd, reads, AlignmentStore(alns)
+
+
+def test_signatures_found(sim):
+    ref, ins, refd, reads, store = sim
+    sigs = extract_signatures(store, reads, SVConfig())
+    alt_sigs = [s for s in sigs if s.length > 500]
+    assert len(alt_sigs) >= 5
+    for s in alt_sigs:
+        assert abs(s.tpos - 5000) < 50
+        assert abs(s.length - 700) < 60
+
+
+def test_detect_and_genotype(sim):
+    ref, ins, refd, reads, store = sim
+    recs = detect_insertions(store, reads, SVConfig(min_support=3))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.chrom == "chrT"
+    assert abs(r.start - 5000) < 50
+    assert abs(r.length - 700) < 60
+    assert r.alt_count >= 5
+    assert r.ref_count >= 3
+    assert r.genotype == "0/1"
+    # inserted sequence matches the simulated insertion
+    got = r.seq
+    assert abs(len(got) - 700) < 60
+
+
+def test_te_filter_keeps_hit_drops_miss(sim):
+    ref, ins, refd, reads, store = sim
+    lib = SeqDict([Sequence("fam1", ins.copy())])
+    rng = np.random.default_rng(1)
+    hit = SVRecord(chrom="c", start=1, end=1, length=700, coverage=5,
+                   af=0.5, sv_id="0", seq=decode(ins), reads=["r1"],
+                   sv_filter="PASS", genotype="0/1", ref_count=5, alt_count=5)
+    miss = SVRecord(chrom="c", start=9000, end=9000, length=700, coverage=5,
+                    af=0.5, sv_id="1",
+                    seq=decode(rng.integers(0, 4, 700).astype(np.int8)),
+                    reads=["r2"], sv_filter="PASS", genotype="0/1",
+                    ref_count=5, alt_count=5)
+    ev = LociEval()
+    kept = filter_te_candidates([hit, miss], lib, ev)
+    assert [r.sv_id for r in kept] == ["0"]
+    assert kept[0].ins_te_prop > 0.9
+    assert kept[0].ins_te_family == "fam1"
+    assert ev.entries == [("c_9000_9000", "VCF sequence not repeatmasked")]
+
+
+def _rec(chrom, pos, length, sv_id, reads, af=0.5):
+    return SVRecord(chrom=chrom, start=pos, end=pos, length=length,
+                    coverage=len(reads), af=af, sv_id=sv_id, seq="A" * length,
+                    reads=list(reads), sv_filter="PASS", genotype="0/1",
+                    ref_count=2, alt_count=len(reads))
+
+
+def test_merge_window():
+    a = _rec("c", 100, 500, "0", ["r1", "r2"], af=0.4)
+    b = _rec("c", 110, 400, "1", ["r2", "r3"], af=0.3)
+    far = _rec("c", 500, 300, "2", ["r4"], af=0.2)
+    out = merge_nearby_records([a, b, far], window=20)
+    assert len(out) == 2
+    m = out[0]
+    assert m.start == 105
+    assert m.length == 500  # "500" > "400" both numerically and as strings
+    assert sorted(m.reads) == ["r1", "r2", "r3"]
+    assert m.alt_count == 3
+    assert abs(m.af - 0.7) < 1e-9
+    assert out[1].sv_id == "2"
+
+
+def test_merge_af_capped():
+    a = _rec("c", 100, 500, "0", ["r1"], af=0.8)
+    b = _rec("c", 105, 500, "1", ["r2"], af=0.7)
+    out = merge_nearby_records([a, b], window=20)
+    assert out[0].af == 1
+
+
+def test_cluster_min_support():
+    store = AlignmentStore([])
+    sigs = [InsSignature("c", 100 + i, 200, f"r{i}", 0, "+", "A" * 200)
+            for i in range(3)]
+    recs = cluster_signatures(sigs, store, SVConfig(min_support=5))
+    assert recs == []
+    recs = cluster_signatures(sigs, store, SVConfig(min_support=3, min_af=0.0))
+    assert len(recs) == 1
