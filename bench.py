@@ -11,6 +11,7 @@ publishes no numbers).  vs_baseline is therefore reported against a
 1 Gcell/s single-core reference-class baseline.
 """
 
+import functools
 import json
 import sys
 import time
@@ -39,11 +40,18 @@ def main():
     qld = jax.device_put(qlen, dev)
     tld = jax.device_put(tlen, dev)
 
+    on_tpu = dev.platform != "cpu"
+    if on_tpu:
+        from telr_tpu.kernels.pallas_dp import pallas_dp_scores as dp_fn
+    else:
+        dp_fn = functools.partial(dp.banded_dp_scores)
+
     def run():
-        g, b = dp.banded_dp_scores(qd, td, offd, qld, tld, width=W,
-                                   mode=dp.GLOBAL, params_tuple=params)
-        jax.block_until_ready((g, b))
-        return g
+        g, b = dp_fn(qd, td, offd, qld, tld, width=W,
+                     mode=dp.GLOBAL, params_tuple=params)
+        # force full sync through the host (block_until_ready alone returns
+        # early through the axon tunnel)
+        return np.asarray(g)
 
     print(f"device: {dev}", file=sys.stderr)
     t0 = time.time()
