@@ -1,0 +1,114 @@
+"""ctypes bindings for the native host runtime (native/telr_native.cpp).
+
+Provides fast paths for sequence encoding, fasta scanning and minimizer
+extraction.  Falls back to the pure-numpy implementations transparently when
+the shared library has not been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(here, "native", "libtelr_native.so")
+    return cand if os.path.isfile(cand) else None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    lib.telr_encode.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p]
+    lib.telr_encode.restype = None
+    lib.telr_scan_fasta.argtypes = [ctypes.c_char_p, i64] + \
+        [ctypes.c_void_p] * 5 + [i64]
+    lib.telr_scan_fasta.restype = i64
+    lib.telr_minimizers.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.telr_minimizers.restype = i64
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def encode(seq: bytes) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        from telr_tpu.io.seqs import encode as np_encode
+        return np_encode(seq)
+    out = np.empty(len(seq), dtype=np.int8)
+    lib.telr_encode(seq, len(seq), out.ctypes.data)
+    return out
+
+
+def scan_fasta(path: str) -> List[Tuple[str, str, np.ndarray]]:
+    """Parse a fasta file natively. Returns [(name, description, codes)]."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    with open(path, "rb") as f:
+        buf = f.read()
+    n = len(buf)
+    max_records = max(16, buf.count(b">") + 1)
+    hs = np.empty(max_records, dtype=np.int64)
+    he = np.empty(max_records, dtype=np.int64)
+    ss = np.empty(max_records, dtype=np.int64)
+    sl = np.empty(max_records, dtype=np.int64)
+    codes = np.empty(n, dtype=np.int8)
+    nrec = lib.telr_scan_fasta(buf, n, hs.ctypes.data, he.ctypes.data,
+                               ss.ctypes.data, sl.ctypes.data,
+                               codes.ctypes.data, max_records)
+    if nrec < 0:
+        raise RuntimeError("fasta scan overflow")
+    out = []
+    for i in range(nrec):
+        header = buf[hs[i]:he[i]].decode("ascii", "replace").rstrip("\r")
+        parts = header.split(None, 1)
+        name = parts[0] if parts else ""
+        desc = parts[1] if len(parts) > 1 else ""
+        out.append((name, desc, codes[ss[i]:ss[i] + sl[i]].copy()))
+    return out
+
+
+def minimizers(codes: np.ndarray, k: int, w: int
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native minimizer extraction; same semantics as
+    telr_tpu.kernels.minimizer.minimizers."""
+    lib = load()
+    if lib is None:
+        from telr_tpu.kernels.minimizer import minimizers as np_mini
+        return np_mini(codes, k, w)
+    n = len(codes)
+    cap = max(16, n)
+    pos = np.empty(cap, dtype=np.int64)
+    hsh = np.empty(cap, dtype=np.uint64)
+    strand = np.empty(cap, dtype=np.int8)
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    cnt = lib.telr_minimizers(codes.ctypes.data, n, k, w,
+                              pos.ctypes.data, hsh.ctypes.data,
+                              strand.ctypes.data)
+    return (pos[:cnt].copy(), hsh[:cnt].copy(),
+            strand[:cnt].astype(np.int64))

@@ -82,7 +82,9 @@ def _sliding_argmin(vals: np.ndarray, w: int) -> np.ndarray:
 
 def minimizers(codes: np.ndarray, k: int, w: int
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Canonical minimizers of a sequence.
+    """Canonical minimizers of a sequence (native C++ fast path when the
+    shared library is built; numpy otherwise — identical semantics, see
+    tests/test_native.py).
 
     Returns (pos, hash, strand): start positions of selected k-mers, their
     canonical hashes, and strand (0 = forward k-mer was canonical).
@@ -90,6 +92,13 @@ def minimizers(codes: np.ndarray, k: int, w: int
     is set to +inf so they are never selected; windows that are entirely
     invalid produce no minimizer).
     """
+    if codes.shape[0] >= k + w - 1:  # native path (identical output)
+        try:
+            from telr_tpu.io import native
+            if native.available():
+                return native.minimizers(np.ascontiguousarray(codes), k, w)
+        except ImportError:
+            pass
     fwd, rc, valid = pack_kmers(codes, k)
     m = fwd.shape[0]
     if m == 0:

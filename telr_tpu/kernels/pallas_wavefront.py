@@ -1,0 +1,288 @@
+"""Sublane-packed Pallas wavefront DP kernel (the flagship compute kernel).
+
+8 (query, target) pairs per program live in the 8 VPU sublanes; the band
+state is (8, W) int32.  All predecessor accesses are ±1 static lane rolls
+selected per pair by the drift bit (see kernels/wavefront.py for the
+recurrence), so there are no dynamic rolls and no intra-step scan — each
+step is ~45 dense VPU ops updating 8×W cells.
+
+Per-step metadata (drift bit, entering q/t codes, packed in one int32) is
+precomputed host-side and streamed from a (8, S) VMEM array in 128-step
+tiles; the inner 128 steps are python-unrolled so every metadata extraction
+is a static lane slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from telr_tpu.kernels.dp import GLOBAL, EXTEND, LOCAL, NEG_INF, DPParams
+from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
+
+STEP_TILE = 128
+
+
+def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
+            h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s,
+            *, width, n_tiles, mode, ma, mi, go, ge, amb):
+    """All DP state lives in VMEM scratch (mutated in place); the step loop
+    carries nothing, so Mosaic does not copy state per iteration.
+
+    sc_s rows: 0=i0, 1=j0, 2=dprev, 3=best, 4=gbest (each (8,1) slice of an
+    (8,8) scratch laid out as columns... stored as (8, 128) with lanes
+    0..4)."""
+    neg = jnp.int32(NEG_INF)
+    W = width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+
+    lq_v = scal_ref[0, :, 0:1]
+    lt_v = scal_ref[0, :, 1:2]
+
+    # init scratch
+    h1_s[:, :] = init_ref[0, 0:8, 0:W]
+    qw_s[:, :] = init_ref[0, 8:16, 0:W]
+    tw_s[:, :] = init_ref[0, 16:24, 0:W]
+    h2_s[:, :] = jnp.full((8, W), neg, jnp.int32)
+    i1_s[:, :] = jnp.full((8, W), neg, jnp.int32)
+    d1_s[:, :] = jnp.full((8, W), neg, jnp.int32)
+    init_best = (jnp.zeros((8, 1), jnp.int32) if mode != GLOBAL
+                 else jnp.full((8, 1), neg, jnp.int32))
+    sc_s[:, 0:1] = scal_ref[0, :, 2:3]          # i0
+    sc_s[:, 1:2] = scal_ref[0, :, 3:4]          # j0
+    sc_s[:, 2:3] = jnp.zeros((8, 1), jnp.int32)  # dprev
+    sc_s[:, 3:4] = init_best                     # best
+    sc_s[:, 4:5] = jnp.full((8, 1), neg, jnp.int32)  # gbest
+
+    def shiftL(x):
+        r = pltpu.roll(x, W - 1, axis=1)
+        return jnp.where(lane == W - 1, neg, r)
+
+    def shiftR(x):
+        r = pltpu.roll(x, 1, axis=1)
+        return jnp.where(lane == 0, neg, r)
+
+    def guard(x, c):
+        return jnp.where(x > neg // 2, x - c, neg)
+
+    def step_body(s, _):
+        base = pl.multiple_of((s // STEP_TILE) * STEP_TILE, STEP_TILE)
+        rem = s - base
+        mtile = meta_ref[0, :, pl.ds(base, STEP_TILE)]
+        mrolled = pltpu.roll(
+            mtile, (jnp.int32(STEP_TILE) - rem) % jnp.int32(STEP_TILE),
+            axis=1)
+        mcol = mrolled[:, 0:1]
+        dbit = (mcol & 1) == 1
+        d = jnp.where(dbit, 1, -1)
+        q_in = (mcol >> 1) & 7
+        t_in = (mcol >> 4) & 7
+
+        i0 = sc_s[:, 0:1] + jnp.where(dbit, 0, 1)
+        j0 = sc_s[:, 1:2] + jnp.where(dbit, 1, 0)
+        sc_s[:, 0:1] = i0
+        sc_s[:, 1:2] = j0
+
+        QW = qw_s[:, :]
+        TW = tw_s[:, :]
+        qw_new = jnp.where(lane == 0, q_in, pltpu.roll(QW, 1, axis=1))
+        QW = jnp.where(dbit, QW, qw_new)
+        tw_new = jnp.where(lane == W - 1, t_in,
+                           pltpu.roll(TW, W - 1, axis=1))
+        TW = jnp.where(dbit, tw_new, TW)
+        qw_s[:, :] = QW
+        tw_s[:, :] = TW
+
+        H1 = h1_s[:, :]
+        H2 = h2_s[:, :]
+        I1 = i1_s[:, :]
+        D1 = d1_s[:, :]
+        dprev = sc_s[:, 2:3]
+
+        Hv = jnp.where(dbit, shiftL(H1), H1)
+        Iv = jnp.where(dbit, shiftL(I1), I1)
+        Hh = jnp.where(dbit, H1, shiftR(H1))
+        Dh = jnp.where(dbit, D1, shiftR(D1))
+        dd = d + dprev
+        Hd = jnp.where(dd == 2, shiftL(H2),
+                       jnp.where(dd == -2, shiftR(H2), H2))
+
+        I = jnp.maximum(guard(Hv, go + ge), guard(Iv, ge))
+        D = jnp.maximum(guard(Hh, go + ge), guard(Dh, ge))
+        sc = jnp.where((QW == 4) | (TW >= 4), jnp.int32(amb),
+                       jnp.where(QW == TW, jnp.int32(ma), jnp.int32(-mi)))
+        Hdg = jnp.where(Hd > neg // 2, Hd + sc, neg)
+        H = jnp.maximum(Hdg, jnp.maximum(I, D))
+        if mode == LOCAL:
+            H = jnp.maximum(H, 0)
+
+        i_vec = i0 - lane
+        j_vec = j0 + lane
+        if mode == LOCAL:
+            b_i = jnp.zeros((8, W), jnp.int32)
+            b_j = jnp.zeros((8, W), jnp.int32)
+        else:
+            b_i = -(go + ge * i_vec)
+            b_j = -(go + ge * j_vec)
+        H = jnp.where((i_vec == 0) & (j_vec == 0), 0,
+                      jnp.where(i_vec == 0, b_j,
+                                jnp.where(j_vec == 0, b_i, H)))
+        valid = ((i_vec >= 0) & (i_vec <= lq_v)
+                 & (j_vec >= 0) & (j_vec <= lt_v))
+        H = jnp.where(valid, H, neg)
+        I = jnp.where(valid, I, neg)
+        D = jnp.where(valid, D, neg)
+
+        inner = valid & (i_vec >= 1) & (j_vec >= 1)
+        if mode != GLOBAL:
+            sc_s[:, 3:4] = jnp.maximum(
+                sc_s[:, 3:4],
+                jnp.max(jnp.where(inner, H, neg), axis=1, keepdims=True))
+        at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
+        sc_s[:, 4:5] = jnp.maximum(
+            sc_s[:, 4:5],
+            jnp.max(jnp.where(at_end, H, neg), axis=1, keepdims=True))
+
+        h2_s[:, :] = H1
+        h1_s[:, :] = H
+        i1_s[:, :] = I
+        d1_s[:, :] = D
+        sc_s[:, 2:3] = d
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles * STEP_TILE, step_body, 0)
+    gbest = sc_s[:, 4:5]
+    best = sc_s[:, 3:4]
+    gout_ref[0, :, :] = jnp.broadcast_to(gbest, (8, 128))
+    bout_ref[0, :, :] = jnp.broadcast_to(
+        best if mode != GLOBAL else gbest, (8, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple",
+                                             "n_tiles", "interpret"))
+def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
+                 interpret=False):
+    ma, mi, go, ge, amb = params_tuple
+    G = meta.shape[0]
+    kernel = functools.partial(_kernel, width=width, n_tiles=n_tiles,
+                               mode=mode, ma=ma, mi=mi, go=go, ge=ge, amb=amb)
+    gout, bout = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, meta.shape[2]), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, width), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, width), jnp.int32),   # H1
+            pltpu.VMEM((8, width), jnp.int32),   # H2
+            pltpu.VMEM((8, width), jnp.int32),   # I1
+            pltpu.VMEM((8, width), jnp.int32),   # D1
+            pltpu.VMEM((8, width), jnp.int32),   # QW
+            pltpu.VMEM((8, width), jnp.int32),   # TW
+            pltpu.VMEM((8, 128), jnp.int32),     # scalars
+        ],
+        interpret=interpret,
+    )(meta, init, scal)
+    return gout[:, :, 0], bout[:, :, 0]
+
+
+def wavefront_scores(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    width: int,
+    mode: int,
+    params: DPParams,
+    guides: Optional[Sequence] = None,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score a batch of (q, t) pairs with the wavefront kernel.
+
+    pairs: list of (q codes, t codes); guides: optional per-pair
+    (guide_qs, guide_ts) anchor arrays.  Returns (gscore, best) per pair.
+    """
+    n = len(pairs)
+    G = -(-n // 8)
+    scheds: List[Optional[WaveSchedule]] = []
+    for idx in range(G * 8):
+        if idx < n:
+            q, t = pairs[idx]
+            gq, gt = (guides[idx] if guides is not None and
+                      guides[idx] is not None else (None, None))
+            scheds.append(build_schedule(q, t, width, gq, gt))
+        else:
+            scheds.append(None)
+    S_max = max((s.n_steps for s in scheds if s is not None), default=0)
+    S_pad = max(-(-S_max // STEP_TILE) * STEP_TILE, STEP_TILE)
+
+    meta = np.zeros((G, 8, S_pad), dtype=np.int32)
+    init = np.full((G, 24, width), NEG_INF, dtype=np.int32)
+    scal = np.zeros((G, 8, 128), dtype=np.int32)
+    p_idx = np.arange(width)
+
+    for idx, sched in enumerate(scheds):
+        g, r = divmod(idx, 8)
+        if sched is None:
+            # dummy pair: drift +1 forever, zero-length
+            meta[g, r, :] = 1
+            init[g, 8 + r, :] = 4
+            init[g, 16 + r, :] = 4
+            continue
+        drift_bits = (sched.drift > 0).astype(np.int32)
+        q_in = sched.q_in.astype(np.int32) & 7
+        t_in = sched.t_in.astype(np.int32) & 7
+        packed = drift_bits | (q_in << 1) | (t_in << 4)
+        meta[g, r, :sched.n_steps] = packed
+        meta[g, r, sched.n_steps:] = 1  # pad: drift +1, codes 0 (harmless)
+        # pad steps must not introduce matches: set codes to 4
+        meta[g, r, sched.n_steps:] = 1 | (4 << 1) | (4 << 4)
+
+        q, t = pairs[idx]
+        i0 = (0 - sched.m0) // 2
+        j0 = (0 + sched.m0) // 2
+        qw = np.full(width, 4, dtype=np.int32)
+        qidx = i0 - 1 - p_idx
+        ok = (qidx >= 0) & (qidx < len(q))
+        qw[ok] = q[qidx[ok]]
+        tw = np.full(width, 4, dtype=np.int32)
+        tidx = j0 - 1 + p_idx
+        ok = (tidx >= 0) & (tidx < len(t))
+        tw[ok] = t[tidx[ok]]
+        i_vec = i0 - p_idx
+        j_vec = j0 + p_idx
+        h1 = np.where((i_vec == 0) & (j_vec == 0), 0, NEG_INF)
+
+        init[g, r, :] = h1
+        init[g, 8 + r, :] = qw
+        init[g, 16 + r, :] = tw
+        scal[g, r, 0] = len(q)
+        scal[g, r, 1] = len(t)
+        scal[g, r, 2] = i0
+        scal[g, r, 3] = j0
+
+    gout, bout = _call_kernel(
+        meta, init, scal, width=width, mode=mode,
+        params_tuple=params.tuple(), n_tiles=S_pad // STEP_TILE,
+        interpret=interpret)
+    gout = np.asarray(gout).reshape(-1)[:n]
+    bout = np.asarray(bout).reshape(-1)[:n]
+    return gout, bout
