@@ -54,6 +54,9 @@ def get_args(argv=None):
     p.add_argument("--different_contig_name", action="store_true")
     p.add_argument("--minimap2_family", action="store_true")
     p.add_argument("-k", "--keep_files", action="store_true")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="per-stage checkpoint directory (resume after the "
+                        "last completed stage)")
     args = p.parse_args(argv)
 
     for path in (args.reads, args.reference, args.library):
@@ -92,7 +95,8 @@ def main(argv=None):
     cfg.validate()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
-    result = run_pipeline(args.reads, args.reference, args.library, out, cfg)
+    result = run_pipeline(args.reads, args.reference, args.library, out, cfg,
+                          checkpoint_dir=args.checkpoint_dir)
     print("TELR finished!")
     return result
 

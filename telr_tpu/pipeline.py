@@ -37,6 +37,7 @@ from telr_tpu.report.output import generate_output
 from telr_tpu.sv.detect import SVRecord, detect_insertions
 from telr_tpu.sv.filter import filter_te_candidates
 from telr_tpu.sv.merge import merge_nearby_records
+from telr_tpu.utils.checkpoint import Checkpointer
 from telr_tpu.utils.evallog import LociEval
 
 logger = logging.getLogger("telr_tpu")
@@ -63,11 +64,13 @@ def run_pipeline(
     out_dir: str,
     config: Optional[TELRConfig] = None,
     sample_name: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> PipelineResult:
     config = config or default_config()
     os.makedirs(out_dir, exist_ok=True)
     if sample_name is None:
         sample_name = os.path.splitext(os.path.basename(reads_path))[0]
+    ckpt = Checkpointer(checkpoint_dir)
 
     logging.basicConfig(
         level=logging.INFO,
@@ -99,22 +102,40 @@ def run_pipeline(
     loci_eval = LociEval()
 
     with timed("alignment"):
-        aligner = Aligner(reference, config.read_preset)
-        alns = []
-        for s in reads:
-            alns.extend(aligner.map_seq(s.name, s.codes))
-        store = AlignmentStore(alns)
+        if ckpt.has("alignment"):
+            store = ckpt.load_alignments("alignment")
+            logger.info("alignment stage restored from checkpoint")
+        else:
+            aligner = Aligner(reference, config.read_preset)
+            alns = []
+            for s in reads:
+                alns.extend(aligner.map_seq(s.name, s.codes))
+            store = AlignmentStore(alns)
+            ckpt.save_alignments("alignment", store)
 
     with timed("sv_detection"):
         records = detect_insertions(store, reads, config.sv, sample_name)
 
     with timed("te_filter"):
-        records = filter_te_candidates(records, library, loci_eval)
-        records = merge_nearby_records(records, config.sv.merge_window)
+        if ckpt.has("te_filter"):
+            records = ckpt.load_records("te_filter")
+            logger.info("te_filter stage restored from checkpoint")
+        else:
+            records = filter_te_candidates(records, library, loci_eval)
+            records = merge_nearby_records(records, config.sv.merge_window)
+            ckpt.save_records("te_filter", records)
 
     with timed("assembly"):
-        contigs, passed = assemble_all(records, reads, config.read_preset,
-                                       config.assembly, loci_eval)
+        if ckpt.has("assembly"):
+            contigs, extra = ckpt.load_seqs("assembly")
+            passed = set(extra.get("passed", []))
+            logger.info("assembly stage restored from checkpoint")
+        else:
+            contigs, passed = assemble_all(records, reads,
+                                           config.read_preset,
+                                           config.assembly, loci_eval)
+            ckpt.save_seqs("assembly", contigs,
+                           {"passed": sorted(passed)})
 
     with timed("annotate_contig"):
         contig_te, te_seqs = annotate_contigs(

@@ -1,0 +1,153 @@
+"""Per-stage checkpoint / resume.
+
+The reference's only "checkpointing" is keeping intermediate files with -k
+and skipping alignment when a BAM is supplied (telr.py:179-180,
+TELR_input.py:300-305).  Here every stage boundary can be checkpointed and a
+re-run resumes after the last completed stage — so a pod-scale run that dies
+after the (expensive) alignment stage restarts from SV detection.
+
+Format: <dir>/<stage>.json (+ .fa sidecars for sequence sets), plus a
+MANIFEST recording completion order.  Everything is plain JSON/fasta so
+checkpoints are inspectable and survive version skew better than pickles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from telr_tpu.core.alignstore import AlignmentStore
+from telr_tpu.io.fasta import read_fasta, write_fasta
+from telr_tpu.io.seqs import SeqDict, Sequence
+from telr_tpu.kernels.mapper import Alignment
+from telr_tpu.ops.intervals import Intervals
+from telr_tpu.sv.detect import SVRecord
+
+
+def _cigar_str(cigar) -> str:
+    return "".join(f"{ln}{op}" for op, ln in cigar)
+
+
+def _cigar_parse(s: str):
+    out, num = [], ""
+    for ch in s:
+        if ch.isdigit():
+            num += ch
+        else:
+            out.append((ch, int(num)))
+            num = ""
+    return out
+
+
+class Checkpointer:
+    def __init__(self, directory: Optional[str]):
+        self.dir = directory
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "MANIFEST.json")
+
+    def completed(self) -> List[str]:
+        if not self.dir or not os.path.isfile(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def mark(self, stage: str) -> None:
+        if not self.dir:
+            return
+        done = self.completed()
+        if stage not in done:
+            done.append(stage)
+        with open(self._manifest_path(), "w") as f:
+            json.dump(done, f)
+
+    def has(self, stage: str) -> bool:
+        return self.dir is not None and stage in self.completed()
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    # -- typed payloads ----------------------------------------------
+    def save_alignments(self, stage: str, store: AlignmentStore) -> None:
+        if not self.dir:
+            return
+        rows = []
+        for a in store.all():
+            d = dataclasses.asdict(a)
+            d["cigar"] = _cigar_str(a.cigar)
+            rows.append(d)
+        with open(self._p(stage + ".json"), "w") as f:
+            json.dump(rows, f)
+        self.mark(stage)
+
+    def load_alignments(self, stage: str) -> AlignmentStore:
+        with open(self._p(stage + ".json")) as f:
+            rows = json.load(f)
+        alns = []
+        for d in rows:
+            d["cigar"] = _cigar_parse(d["cigar"])
+            alns.append(Alignment(**d))
+        return AlignmentStore(alns)
+
+    def save_records(self, stage: str, records: List[SVRecord]) -> None:
+        if not self.dir:
+            return
+        with open(self._p(stage + ".json"), "w") as f:
+            json.dump([dataclasses.asdict(r) for r in records], f)
+        self.mark(stage)
+
+    def load_records(self, stage: str) -> List[SVRecord]:
+        with open(self._p(stage + ".json")) as f:
+            return [SVRecord(**d) for d in json.load(f)]
+
+    def save_seqs(self, stage: str, seqs: SeqDict,
+                  extra: Optional[dict] = None) -> None:
+        if not self.dir:
+            return
+        write_fasta(seqs, self._p(stage + ".fa"))
+        with open(self._p(stage + ".json"), "w") as f:
+            json.dump(extra or {}, f)
+        self.mark(stage)
+
+    def load_seqs(self, stage: str) -> Tuple[SeqDict, dict]:
+        seqs = read_fasta(self._p(stage + ".fa"), dedup=False)
+        with open(self._p(stage + ".json")) as f:
+            extra = json.load(f)
+        return seqs, extra
+
+    def save_intervals(self, stage: str, iv: Intervals) -> None:
+        if not self.dir:
+            return
+        payload = {
+            "chrom": iv.chrom,
+            "start": [int(x) for x in iv.start],
+            "end": [int(x) for x in iv.end],
+            "cols": iv.cols,
+        }
+        with open(self._p(stage + ".json"), "w") as f:
+            json.dump(payload, f)
+        self.mark(stage)
+
+    def load_intervals(self, stage: str) -> Intervals:
+        with open(self._p(stage + ".json")) as f:
+            d = json.load(f)
+        return Intervals(chrom=d["chrom"], start=np.array(d["start"]),
+                         end=np.array(d["end"]), cols=d["cols"])
+
+    def save_json(self, stage: str, obj) -> None:
+        if not self.dir:
+            return
+        with open(self._p(stage + ".json"), "w") as f:
+            json.dump(obj, f)
+        self.mark(stage)
+
+    def load_json(self, stage: str):
+        with open(self._p(stage + ".json")) as f:
+            return json.load(f)
