@@ -155,4 +155,43 @@ int64_t telr_minimizers(const int8_t* codes, int64_t n, int32_t k, int32_t w,
     return count;
 }
 
+// ---------------------------------------------------------------------------
+// wavefront schedule walk (see telr_tpu/kernels/wavefront.py)
+// ---------------------------------------------------------------------------
+
+// Given the parity-free target band base per step (target_m, S+1 entries)
+// and the sequences, emit drift bits and entering window codes.
+// m0 (even, caller-chosen) is the base at s=0.  Returns 0.
+int32_t telr_wave_schedule(const int8_t* q, int64_t lq,
+                           const int8_t* t, int64_t lt,
+                           const int64_t* target_m, int64_t S,
+                           int64_t m0, int32_t width,
+                           int8_t* drift_out, int8_t* qin_out,
+                           int8_t* tin_out) {
+    int64_t m_prev = m0;
+    int64_t i0 = (0 - m0) / 2;
+    int64_t j0 = (0 + m0) / 2;
+    for (int64_t s = 1; s <= S; s++) {
+        int64_t m;
+        if (target_m[s] >= m_prev + 1) m = m_prev + 1;
+        else if (target_m[s] <= m_prev - 1) m = m_prev - 1;
+        else m = m_prev + ((target_m[s] - m_prev) >= 0 ? 1 : -1);
+        int8_t d = (int8_t)(m - m_prev);
+        drift_out[s - 1] = d;
+        qin_out[s - 1] = 4;
+        tin_out[s - 1] = 4;
+        if (d == -1) {
+            i0 += 1;
+            int64_t idx = i0 - 1;
+            if (idx >= 0 && idx < lq) qin_out[s - 1] = q[idx];
+        } else {
+            j0 += 1;
+            int64_t idx = j0 - 1 + (width - 1);
+            if (idx >= 0 && idx < lt) tin_out[s - 1] = t[idx];
+        }
+        m_prev = m;
+    }
+    return 0;
+}
+
 }  // extern "C"

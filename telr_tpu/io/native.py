@@ -46,6 +46,11 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, i64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.telr_minimizers.restype = i64
+    lib.telr_wave_schedule.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_void_p, i64, ctypes.c_void_p, i64,
+        i64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.telr_wave_schedule.restype = ctypes.c_int32
     _LIB = lib
     return _LIB
 

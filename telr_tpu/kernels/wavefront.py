@@ -83,10 +83,31 @@ def build_schedule(q: np.ndarray, t: np.ndarray, width: int,
     target_m = np.rint(o_guide).astype(np.int64) - width
 
     # parity walk: m_s ≡ s (mod 2), |m_s - m_{s-1}| = 1, tracking target
-    m = np.zeros(S + 1, dtype=np.int64)
     m0 = int(target_m[0])
     if m0 % 2 != 0:
         m0 += 1
+
+    try:
+        from telr_tpu.io import native
+        nat = native.load()
+    except ImportError:
+        nat = None
+    if nat is not None:
+        import ctypes
+        qa = np.ascontiguousarray(q, dtype=np.int8)
+        ta = np.ascontiguousarray(t, dtype=np.int8)
+        tm = np.ascontiguousarray(target_m, dtype=np.int64)
+        drift = np.empty(S, dtype=np.int8)
+        q_in = np.empty(S, dtype=np.int8)
+        t_in = np.empty(S, dtype=np.int8)
+        nat.telr_wave_schedule(qa.ctypes.data, lq, ta.ctypes.data, lt,
+                               tm.ctypes.data, S, m0, width,
+                               drift.ctypes.data, q_in.ctypes.data,
+                               t_in.ctypes.data)
+        return WaveSchedule(drift=drift, q_in=q_in, t_in=t_in, m0=m0,
+                            n_steps=S, lq=lq, lt=lt)
+
+    m = np.zeros(S + 1, dtype=np.int64)
     m[0] = m0
     for s in range(1, S + 1):
         if target_m[s] >= m[s - 1] + 1:
