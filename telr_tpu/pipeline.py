@@ -65,8 +65,12 @@ def run_pipeline(
     config: Optional[TELRConfig] = None,
     sample_name: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> PipelineResult:
     config = config or default_config()
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
     os.makedirs(out_dir, exist_ok=True)
     if sample_name is None:
         sample_name = os.path.splitext(os.path.basename(reads_path))[0]
@@ -169,6 +173,11 @@ def run_pipeline(
             json.dump(summary, f, indent=4, sort_keys=False)
         with open(os.path.join(out_dir, "liftover_report.json"), "w") as f:
             json.dump(lift_report, f, indent=4, sort_keys=False)
+
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", profile_dir)
 
     if not final:
         print("No non-reference TE insertion found")
