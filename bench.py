@@ -25,6 +25,14 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: the wavefront kernel's first compile through
+    # a remote TPU compile service can take minutes; cached runs take seconds
+    try:
+        import os
+        os.makedirs("/root/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
     from telr_tpu.kernels import dp
 
     dev = jax.devices()[0]
