@@ -109,10 +109,26 @@ def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
                            pltpu.roll(TW, W - 1, axis=1))
         TW = jnp.where(dbit, tw_new, TW)
 
-        Hv = jnp.where(dbit, shiftL(H1), H1)
-        Iv = jnp.where(dbit, shiftL(I1), I1)
-        Hh = jnp.where(dbit, H1, shiftR(H1))
-        Dh = jnp.where(dbit, D1, shiftR(D1))
+        # pack pairs of arrays so two +-1 shifts share one roll; the seam
+        # lanes (W-1 and 2W-1 for left, 0 and W for right) are exactly the
+        # lanes the band edge must fill with -inf anyway
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * W), 1)
+        packL = jnp.concatenate([H1, I1], axis=1)
+        rolledL = pltpu.roll(packL, 2 * W - 1, axis=1)
+        rolledL = jnp.where((lane2 == W - 1) | (lane2 == 2 * W - 1), neg,
+                            rolledL)
+        H1L = rolledL[:, 0:W]
+        I1L = rolledL[:, W:2 * W]
+        packR = jnp.concatenate([H1, D1], axis=1)
+        rolledR = pltpu.roll(packR, 1, axis=1)
+        rolledR = jnp.where((lane2 == 0) | (lane2 == W), neg, rolledR)
+        H1R = rolledR[:, 0:W]
+        D1R = rolledR[:, W:2 * W]
+
+        Hv = jnp.where(dbit, H1L, H1)
+        Iv = jnp.where(dbit, I1L, I1)
+        Hh = jnp.where(dbit, H1, H1R)
+        Dh = jnp.where(dbit, D1, D1R)
         dd = d + dprev
         Hd = jnp.where(dd == 2, shiftL(H2),
                        jnp.where(dd == -2, shiftR(H2), H2))
