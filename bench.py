@@ -45,7 +45,7 @@ def main():
     if on_tpu:
         from telr_tpu.kernels.pallas_wavefront import (
             prepare_wavefront_batch, run_wavefront_batch)
-        W = 1024  # wave band; covers a 2W=2048-column row window
+        W = 2048  # wave band; 4096-column row window (SV-sensitive regime)
         pairs = []
         for _ in range(B):
             t = rng.integers(0, 4, LT).astype(np.int8)
