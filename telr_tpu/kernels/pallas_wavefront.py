@@ -29,15 +29,24 @@ from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 STEP_TILE = 128
 
 
-def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
-            h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s,
-            *, width, n_tiles, mode, ma, mi, go, ge, amb):
+def _kernel(meta_ref, init_ref, scal_ref, *refs,
+            width, n_tiles, mode, ma, mi, go, ge, amb, tb=False):
     """All DP state lives in VMEM scratch (mutated in place); the step loop
     carries nothing, so Mosaic does not copy state per iteration.
 
-    sc_s rows: 0=i0, 1=j0, 2=dprev, 3=best, 4=gbest (each (8,1) slice of an
-    (8,8) scratch laid out as columns... stored as (8, 128) with lanes
-    0..4)."""
+    sc_s lanes: 0=i0, 1=j0, 2=dprev, 3=best, 4=gbest, 5=best_s, 6=best_p
+    (each an (8,1) column of an (8,128) scratch).
+
+    With tb=True, a per-cell direction byte (2b H-choice | D-ext<<2 |
+    I-ext<<3) is staged in VMEM for 8 steps and DMA'd to the dirs output
+    in HBM."""
+    if tb:
+        (gout_ref, bout_ref, dirs_ref,
+         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s, stage_s, dma_sem) = refs
+    else:
+        (gout_ref, bout_ref,
+         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s) = refs
+    g_id = pl.program_id(0)
     neg = jnp.int32(NEG_INF)
     W = width
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
@@ -59,6 +68,8 @@ def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
     sc_s[:, 2:3] = jnp.zeros((8, 1), jnp.int32)  # dprev
     sc_s[:, 3:4] = init_best                     # best
     sc_s[:, 4:5] = jnp.full((8, 1), neg, jnp.int32)  # gbest
+    sc_s[:, 5:6] = jnp.zeros((8, 1), jnp.int32)      # best_s
+    sc_s[:, 6:7] = jnp.zeros((8, 1), jnp.int32)      # best_p
 
     def shiftL(x):
         r = pltpu.roll(x, W - 1, axis=1)
@@ -85,16 +96,26 @@ def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
         # read once and written once per 8 steps
         st = (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :],
               qw_s[:, :], tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2],
-              sc_s[:, 2:3], sc_s[:, 3:4], sc_s[:, 4:5])
+              sc_s[:, 2:3], sc_s[:, 3:4], sc_s[:, 4:5],
+              sc_s[:, 5:6], sc_s[:, 6:7])
         for kk in range(UNROLL):
-            st = _one_step(mrolled[:, kk:kk + 1], st)
+            s_cur = s0 + kk + 1
+            st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur)
+            if tb:
+                stage_s[kk * 8:(kk + 1) * 8, :] = dirs
         (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
          tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2], sc_s[:, 2:3],
-         sc_s[:, 3:4], sc_s[:, 4:5]) = st
+         sc_s[:, 3:4], sc_s[:, 4:5], sc_s[:, 5:6], sc_s[:, 6:7]) = st
+        if tb:
+            cp = pltpu.make_async_copy(stage_s, dirs_ref.at[g_id, k],
+                                       dma_sem)
+            cp.start()
+            cp.wait()
         return 0
 
-    def _one_step(mcol, st):
-        (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, bestv, gbestv) = st
+    def _one_step(mcol, st, s_cur):
+        (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, bestv, gbestv,
+         bsv, bpv) = st
         dbit = (mcol & 1) == 1
         d = jnp.where(dbit, 1, -1)
         q_in = (mcol >> 1) & 7
@@ -161,33 +182,92 @@ def _kernel(meta_ref, init_ref, scal_ref, gout_ref, bout_ref,
 
         inner = valid & (i_vec >= 1) & (j_vec >= 1)
         if mode != GLOBAL:
-            bestv = jnp.maximum(
-                bestv,
-                jnp.max(jnp.where(inner, H, neg), axis=1, keepdims=True))
+            masked = jnp.where(inner, H, neg)
+            row_best = jnp.max(masked, axis=1, keepdims=True)
+            take = row_best > bestv
+            bestv = jnp.where(take, row_best, bestv)
+            if tb:
+                # leftmost argmax via masked lane-min
+                is_max = masked == row_best
+                arg = jnp.min(jnp.where(is_max, lane, jnp.int32(1 << 28)),
+                              axis=1, keepdims=True)
+                bsv = jnp.where(take, jnp.int32(s_cur), bsv)
+                bpv = jnp.where(take, arg, bpv)
         at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
         gbestv = jnp.maximum(
             gbestv,
             jnp.max(jnp.where(at_end, H, neg), axis=1, keepdims=True))
 
-        return (H, H1, I, D, QW, TW, i0, j0, d, bestv, gbestv)
+        if tb:
+            # direction byte for traceback (choice | D-ext<<2 | I-ext<<3)
+            d_open = guard(Hh, go + ge)
+            i_open2 = guard(Hv, go + ge)
+            choice = jnp.where(H == Hdg, 0,
+                               jnp.where(H == D, 1, 2))
+            if mode == LOCAL:
+                choice = jnp.where(H == 0, 3, choice)
+            choice = jnp.where((i_vec <= 0) | (j_vec <= 0), 3, choice)
+            dext = (D != d_open) & (D > neg // 2)
+            iext = (I != i_open2) & (I > neg // 2)
+            dirs = (choice | jnp.where(dext, 4, 0)
+                    | jnp.where(iext, 8, 0)).astype(jnp.int8)
+        else:
+            dirs = None
+
+        return (H, H1, I, D, QW, TW, i0, j0, d, bestv, gbestv, bsv, bpv), \
+            dirs
 
     jax.lax.fori_loop(0, n_tiles * STEP_TILE // UNROLL, block_body, 0)
     gbest = sc_s[:, 4:5]
     best = sc_s[:, 3:4]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # gout lane 0 = global score; bout lane 0 = best, lane 1 = best_s,
+    # lane 2 = best_p (argmax cell for EXTEND/LOCAL traceback starts)
     gout_ref[0, :, :] = jnp.broadcast_to(gbest, (8, 128))
-    bout_ref[0, :, :] = jnp.broadcast_to(
-        best if mode != GLOBAL else gbest, (8, 128))
+    bmat = jnp.broadcast_to(best if mode != GLOBAL else gbest, (8, 128))
+    bmat = jnp.where(lane128 == 1, sc_s[:, 5:6], bmat)
+    bmat = jnp.where(lane128 == 2, sc_s[:, 6:7], bmat)
+    bout_ref[0, :, :] = bmat
 
 
 @functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple",
-                                             "n_tiles", "interpret"))
+                                             "n_tiles", "interpret", "tb"))
 def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
-                 interpret=False):
+                 interpret=False, tb=False):
     ma, mi, go, ge, amb = params_tuple
     G = meta.shape[0]
     kernel = functools.partial(_kernel, width=width, n_tiles=n_tiles,
-                               mode=mode, ma=ma, mi=mi, go=go, ge=ge, amb=amb)
-    gout, bout = pl.pallas_call(
+                               mode=mode, ma=ma, mi=mi, go=go, ge=ge,
+                               amb=amb, tb=tb)
+    S_pad = n_tiles * STEP_TILE
+    out_specs = [
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((8, width), jnp.int32),   # H1
+        pltpu.VMEM((8, width), jnp.int32),   # H2
+        pltpu.VMEM((8, width), jnp.int32),   # I1
+        pltpu.VMEM((8, width), jnp.int32),   # D1
+        pltpu.VMEM((8, width), jnp.int32),   # QW
+        pltpu.VMEM((8, width), jnp.int32),   # TW
+        pltpu.VMEM((8, 128), jnp.int32),     # scalars
+    ]
+    if tb:
+        # dirs output: (G, S_pad/8, 64, width) int8 — each block row holds
+        # 8 steps x 8 pairs; stays in HBM (ANY), written by in-kernel DMA
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, S_pad // 8, 64, width), jnp.int8))
+        scratch.append(pltpu.VMEM((64, width), jnp.int8))  # stage
+        scratch.append(pltpu.SemaphoreType.DMA)
+    outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -198,27 +278,16 @@ def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, width), jnp.int32),   # H1
-            pltpu.VMEM((8, width), jnp.int32),   # H2
-            pltpu.VMEM((8, width), jnp.int32),   # I1
-            pltpu.VMEM((8, width), jnp.int32),   # D1
-            pltpu.VMEM((8, width), jnp.int32),   # QW
-            pltpu.VMEM((8, width), jnp.int32),   # TW
-            pltpu.VMEM((8, 128), jnp.int32),     # scalars
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(meta, init, scal)
+    if tb:
+        gout, bout, dirs = outs
+        return gout[:, :, 0], bout[:, :, 0], bout[:, :, 1], bout[:, :, 2], \
+            dirs
+    gout, bout = outs
     return gout[:, :, 0], bout[:, :, 0]
 
 
@@ -288,12 +357,12 @@ def prepare_wavefront_batch(
         scal[g, r, 2] = i0
         scal[g, r, 3] = j0
 
-    return meta, init, scal, S_pad // STEP_TILE, n
+    return meta, init, scal, S_pad // STEP_TILE, n, scheds
 
 
 def run_wavefront_batch(batch, width, mode, params: DPParams,
                         interpret: bool = False):
-    meta, init, scal, n_tiles, n = batch
+    meta, init, scal, n_tiles, n = batch[:5]
     gout, bout = _call_kernel(
         meta, init, scal, width=width, mode=mode,
         params_tuple=params.tuple(), n_tiles=n_tiles, interpret=interpret)
@@ -318,3 +387,62 @@ def wavefront_scores(
     batch = prepare_wavefront_batch(pairs, width, guides)
     return run_wavefront_batch(batch, width, mode, params,
                                interpret=interpret)
+
+
+def run_wavefront_batch_tb(batch, width, mode, params: DPParams,
+                           interpret: bool = False):
+    """Traceback variant: returns (gscore, best, best_s, best_p, dirs)
+    per pair, where dirs is the (n, S, width) direction-byte array."""
+    meta, init, scal, n_tiles, n, scheds = batch
+    gout, bout, bs, bp, dirs = _call_kernel(
+        meta, init, scal, width=width, mode=mode,
+        params_tuple=params.tuple(), n_tiles=n_tiles, interpret=interpret,
+        tb=True)
+    # dirs: (G, S_pad/8, 64, W) -> per-pair (S_pad, W)
+    dirs = np.asarray(dirs)
+    G, NB, _, W = dirs.shape
+    dirs = dirs.reshape(G, NB, 8, 8, W)          # [g, blk, step-in-blk, pair]
+    dirs = dirs.transpose(0, 3, 1, 2, 4).reshape(G * 8, NB * 8, W)
+    return (np.asarray(gout).reshape(-1)[:n],
+            np.asarray(bout).reshape(-1)[:n],
+            np.asarray(bs).reshape(-1)[:n],
+            np.asarray(bp).reshape(-1)[:n],
+            dirs[:n])
+
+
+def wavefront_align(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    width: int,
+    mode: int,
+    params: DPParams,
+    guides: Optional[Sequence] = None,
+    interpret: bool = False,
+):
+    """Full alignment through the wavefront kernel: scores + CIGARs.
+
+    Returns a list of dicts like dp.align_pair: score, cigar, qstart,
+    qend, tstart, tend.
+    """
+    from telr_tpu.kernels.wavefront import wavefront_traceback
+    batch = prepare_wavefront_batch(pairs, width, guides)
+    scheds = batch[5]
+    g, b, bs, bp, dirs = run_wavefront_batch_tb(batch, width, mode, params,
+                                                interpret=interpret)
+    out = []
+    for idx, (q, t) in enumerate(pairs):
+        sched = scheds[idx]
+        if mode == GLOBAL:
+            si, sj = sched.lq, sched.lt
+            score = int(g[idx])
+        else:
+            s_star, p_star = int(bs[idx]), int(bp[idx])
+            m = sched.m0 + int(np.cumsum(sched.drift[:s_star])[-1]) \
+                if s_star > 0 else sched.m0
+            o = m + 2 * p_star
+            si = (s_star - o) // 2
+            sj = (s_star + o) // 2
+            score = int(b[idx])
+        cigar, ei, ej = wavefront_traceback(dirs[idx], sched, si, sj, mode)
+        out.append({"score": score, "cigar": cigar, "qstart": ei,
+                    "tstart": ej, "qend": si, "tend": sj})
+    return out

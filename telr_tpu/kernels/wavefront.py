@@ -256,3 +256,67 @@ def numpy_wavefront(q: np.ndarray, t: np.ndarray, sched: WaveSchedule,
     if mode == GLOBAL:
         return gbest, gbest
     return gbest, best
+
+
+def wavefront_traceback(dirs: np.ndarray, sched: "WaveSchedule",
+                        start_i: int, start_j: int, mode: int):
+    """Walk the kernel's direction bytes from cell (start_i, start_j) back
+    to the alignment start.
+
+    dirs: (S, W) int8, row s-1 holds step s; byte layout: 2b choice
+    (0=diag, 1=D/horizontal, 2=I/vertical, 3=stop) | D-ext<<2 | I-ext<<3.
+    Returns (cigar, end_i, end_j)."""
+    W = dirs.shape[1]
+    m = np.concatenate([[sched.m0],
+                        sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
+    ops = []
+
+    def push(op):
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + 1)
+        else:
+            ops.append((op, 1))
+
+    i, j = int(start_i), int(start_j)
+    state = "H"
+    while i > 0 and j > 0:
+        s = i + j
+        o = j - i
+        p = (o - m[s]) // 2
+        if (o - m[s]) % 2 != 0 or not (0 <= p < W):
+            raise RuntimeError(
+                f"traceback left the wave band at i={i} j={j} p={p}")
+        byte = int(dirs[s - 1, p])
+        ch = byte & 3
+        if state == "H":
+            if ch == 3:
+                break  # LOCAL start / boundary marker
+            if ch == 0:
+                push("M")
+                i -= 1
+                j -= 1
+            elif ch == 1:
+                state = "D"
+            else:
+                state = "I"
+        elif state == "D":
+            push("D")
+            ext = byte & 4
+            j -= 1
+            if not ext:
+                state = "H"
+        else:
+            push("I")
+            ext = byte & 8
+            i -= 1
+            if not ext:
+                state = "H"
+    if mode != LOCAL:
+        while j > 0:
+            push("D")
+            j -= 1
+        while i > 0:
+            push("I")
+            i -= 1
+    ops.reverse()
+    return ops, i, j
