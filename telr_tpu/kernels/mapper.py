@@ -60,15 +60,36 @@ class Alignment:
 
 
 class Aligner:
-    """Index a target SeqDict once; map many queries."""
+    """Index a target SeqDict once; map many queries.
+
+    use_wavefront=True routes the chain-region and extension DPs through the
+    Pallas wavefront kernel (kernels/pallas_wavefront.py) — the TPU
+    execution path.  The default XLA-scan path (dp.align_pair) is the
+    portable CPU path; both produce oracle-optimal alignments."""
 
     def __init__(self, targets: SeqDict, preset: AlignPreset,
-                 max_occ: int = 512):
+                 max_occ: int = 512, use_wavefront: bool = False):
         self.targets = targets
         self.preset = preset
+        self.use_wavefront = use_wavefront
         self.index = MinimizerIndex.build(targets, preset.k, preset.w,
                                           max_occ=max_occ)
         self._tcodes = {s.name: s.codes for s in targets}
+
+    def _dp(self, q, t, mode, params, width=None, guide=None):
+        """One piece alignment via the configured DP backend."""
+        if not self.use_wavefront or len(q) == 0 or len(t) == 0:
+            if guide is not None and width is not None:
+                off = dp.offsets_from_path(len(q), len(t), width,
+                                           guide[0], guide[1])
+                return dp.align_pair(q, t, mode, params, width=width,
+                                     off=off)
+            return dp.align_pair(q, t, mode, params, width=width)
+        from telr_tpu.kernels.pallas_wavefront import wavefront_align
+        wave_w = max(128, (width or 256) // 2)
+        res = wavefront_align([(q, t)], wave_w, mode, params,
+                              guides=[guide] if guide else None)[0]
+        return res
 
     # ------------------------------------------------------------------
     def map_seq(self, qname: str, codes: np.ndarray,
@@ -187,11 +208,9 @@ class Aligner:
         width = min(dp._bucket(wneed), 2048)
         sub_q = qc[qs:qe]
         sub_t = tcodes[ts:te]
-        off = dp.offsets_from_path(len(sub_q), len(sub_t), width,
-                                   chain.qpos - qs, chain.tpos - ts)
         try:
-            res = dp.align_pair(sub_q, sub_t, dp.GLOBAL, params, width=width,
-                                off=off)
+            res = self._dp(sub_q, sub_t, dp.GLOBAL, params, width=width,
+                           guide=(chain.qpos - qs, chain.tpos - ts))
         except RuntimeError:
             return None
         if res["score"] <= dp.NEG_INF // 2:
@@ -203,8 +222,8 @@ class Aligner:
         ext_t_len = min(tlen - te, (qlen - qe) + 500)
         qr_cap = min(qlen - qe, ext_t_len + pre.band_width)
         if qr_cap > 0 and ext_t_len > 0:
-            r = dp.align_pair(qc[qe:qe + qr_cap], tcodes[te:te + ext_t_len],
-                              dp.EXTEND, params)
+            r = self._dp(qc[qe:qe + qr_cap], tcodes[te:te + ext_t_len],
+                         dp.EXTEND, params)
             cigar = _merge_cigar(cigar, r["cigar"])
             qe += r["qend"]
             te += r["tend"]
@@ -216,7 +235,7 @@ class Aligner:
         if ql_cap > 0 and ext_t_len > 0:
             lq = qc[qs - ql_cap:qs][::-1].copy()
             lt = tcodes[ts - ext_t_len:ts][::-1].copy()
-            r = dp.align_pair(lq, lt, dp.EXTEND, params)
+            r = self._dp(lq, lt, dp.EXTEND, params)
             left_cigar = list(reversed(r["cigar"]))
             cigar = _merge_cigar(left_cigar, cigar)
             qs -= r["qend"]
