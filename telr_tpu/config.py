@@ -152,6 +152,8 @@ class TELRConfig:
     different_contig_name: bool = False
     keep_files: bool = False
     threads: int = 1               # host-side worker hint (IO only)
+    use_wavefront: bool = False    # route mapper DPs through the Pallas
+                                   # wavefront kernel (TPU execution path)
 
     @property
     def read_preset(self) -> AlignPreset:

@@ -72,28 +72,15 @@ class Aligner:
         self.targets = targets
         self.preset = preset
         self.use_wavefront = use_wavefront
+        self._wave_interpret = False
         self.index = MinimizerIndex.build(targets, preset.k, preset.w,
                                           max_occ=max_occ)
         self._tcodes = {s.name: s.codes for s in targets}
 
-    def _dp(self, q, t, mode, params, width=None, guide=None):
-        """One piece alignment via the configured DP backend."""
-        if not self.use_wavefront or len(q) == 0 or len(t) == 0:
-            if guide is not None and width is not None:
-                off = dp.offsets_from_path(len(q), len(t), width,
-                                           guide[0], guide[1])
-                return dp.align_pair(q, t, mode, params, width=width,
-                                     off=off)
-            return dp.align_pair(q, t, mode, params, width=width)
-        from telr_tpu.kernels.pallas_wavefront import wavefront_align
-        wave_w = max(128, (width or 256) // 2)
-        res = wavefront_align([(q, t)], wave_w, mode, params,
-                              guides=[guide] if guide else None)[0]
-        return res
-
     # ------------------------------------------------------------------
-    def map_seq(self, qname: str, codes: np.ndarray,
-                max_hits: Optional[int] = None) -> List[Alignment]:
+    # planning: chains + primary/secondary selection (shared by map_seq and
+    # map_batch; semantics identical to the original inline loop)
+    def _plan(self, codes: np.ndarray):
         pre = self.preset
         qlen = len(codes)
         if qlen < pre.k:
@@ -105,10 +92,10 @@ class Aligner:
         if len(q_idx) == 0:
             return []
         sid, t_local = self.index.seq_of_gpos(t_gpos)
-        rel_strand = (qstrand[q_idx] != t_strand).astype(np.int64)  # 1 = '-'
+        rel_strand = (qstrand[q_idx] != t_strand).astype(np.int64)
         a_qpos = qpos[q_idx]
 
-        chains: List[Tuple[Chain, int, int]] = []  # (chain, seq_id, strand)
+        chains: List[Tuple[Chain, int, int]] = []
         for s_id in np.unique(sid):
             for st in (0, 1):
                 m = (sid == s_id) & (rel_strand == st)
@@ -117,7 +104,7 @@ class Aligner:
                 aq = a_qpos[m]
                 at = t_local[m]
                 if st == 1:
-                    aq = qlen - pre.k - aq  # revcomp query coords
+                    aq = qlen - pre.k - aq
                 cs = chain_anchors(
                     aq, at, pre.k,
                     max_gap=pre.max_anchor_gap,
@@ -126,45 +113,116 @@ class Aligner:
                     min_anchors=pre.min_chain_anchors,
                     max_chains=pre.max_secondary + 4)
                 chains.extend((c, int(s_id), st) for c in cs)
-
         if not chains:
             return []
         chains.sort(key=lambda x: -x[0].score)
 
-        # primary/secondary classification by query overlap
-        picked: List[Tuple[Chain, int, int, bool, float]] = []
+        picked: List[Tuple[Chain, int, int, bool]] = []
+        marked = []
         for c, s_id, st in chains:
             qs, qe = c.q_span
             if st == 1:
                 qs, qe = qlen - qe, qlen - qs
-            overlap_best = 0.0
             is_secondary = False
-            for (pc, ps_id, pst, pprim, _) in picked:
+            for (pc, ps_id, pst, pprim) in marked:
                 pqs, pqe = pc.q_span
                 if pst == 1:
                     pqs, pqe = qlen - pqe, qlen - pqs
                 ov = min(qe, pqe) - max(qs, pqs)
                 if ov > 0.5 * (qe - qs):
                     is_secondary = True
-                    overlap_best = max(overlap_best, pc.score)
-            picked.append((c, s_id, st, not is_secondary, overlap_best))
-
+            marked.append((c, s_id, st, not is_secondary))
+        # secondary cap applied in order (matches the original loop)
         n_secondary = 0
-        out: List[Alignment] = []
-        for c, s_id, st, primary, _ in picked:
+        for c, s_id, st, primary in marked:
             if not primary:
                 n_secondary += 1
                 if n_secondary > pre.max_secondary:
                     continue
-            aln = self._align_chain(qname, codes, c, s_id, st, primary)
-            if aln is None:
+            picked.append((c, s_id, st, primary))
+        return picked
+
+    # ------------------------------------------------------------------
+    # piece construction: the three independent DP jobs of one chain
+    def _chain_pieces(self, codes: np.ndarray, chain: Chain, s_id: int,
+                      strand: int):
+        pre = self.preset
+        qlen = len(codes)
+        tname = self.index.seq_names[s_id]
+        tcodes = self._tcodes[tname]
+        tlen = len(tcodes)
+        qc = revcomp_codes(codes) if strand else codes
+
+        qs, qe = chain.q_span
+        ts, te = chain.t_span
+        qe = min(qe, qlen)
+        te = min(te, tlen)
+
+        link_dt = np.diff(chain.tpos) if chain.n_anchors > 1 else np.zeros(1)
+        wneed = int(max(256, (link_dt.max() if len(link_dt) else 0) + 160))
+        width = min(dp._bucket(wneed), 2048)
+
+        pieces = {}
+        pieces["region"] = (qc[qs:qe], tcodes[ts:te], dp.GLOBAL, width,
+                           (chain.qpos - qs, chain.tpos - ts))
+        ext_t_len = min(tlen - te, (qlen - qe) + 500)
+        qr_cap = min(qlen - qe, ext_t_len + pre.band_width)
+        if qr_cap > 0 and ext_t_len > 0:
+            pieces["rext"] = (qc[qe:qe + qr_cap], tcodes[te:te + ext_t_len],
+                              dp.EXTEND, None, None)
+        ext_t_len_l = min(ts, qs + 500)
+        ql_cap = min(qs, ext_t_len_l + pre.band_width)
+        if ql_cap > 0 and ext_t_len_l > 0:
+            pieces["lext"] = (qc[qs - ql_cap:qs][::-1].copy(),
+                              tcodes[ts - ext_t_len_l:ts][::-1].copy(),
+                              dp.EXTEND, None, None)
+        return pieces, (qc, qs, qe, ts, te, tname, tlen)
+
+    def _assemble_chain(self, qname, codes, chain, s_id, strand, primary,
+                        geom, results) -> Optional[Alignment]:
+        qlen = len(codes)
+        (qc, qs, qe, ts, te, tname, tlen) = geom
+        res = results.get("region")
+        if res is None or res["score"] <= dp.NEG_INF // 2:
+            return None
+        cigar = list(res["cigar"])
+        score = res["score"]
+        r = results.get("rext")
+        if r is not None:
+            cigar = _merge_cigar(cigar, r["cigar"])
+            qe += r["qend"]
+            te += r["tend"]
+            score += r["score"]
+        r = results.get("lext")
+        if r is not None:
+            left_cigar = list(reversed(r["cigar"]))
+            cigar = _merge_cigar(left_cigar, cigar)
+            qs -= r["qend"]
+            ts -= r["tend"]
+            score += r["score"]
+
+        matches = dp.count_matches(qc, self._tcodes[tname], cigar, qs, ts)
+        nm, ni, nd, blk = dp.cigar_stats(cigar)
+        if blk == 0:
+            return None
+        if strand:
+            oqs, oqe = qlen - qe, qlen - qs
+        else:
+            oqs, oqe = qs, qe
+        return Alignment(
+            qname=qname, qlen=qlen, qstart=int(oqs), qend=int(oqe),
+            strand="-" if strand else "+", tname=tname, tlen=tlen,
+            tstart=int(ts), tend=int(te), matches=int(matches),
+            blocklen=int(blk), mapq=0, score=int(score), cigar=cigar,
+            primary=primary)
+
+    def _postprocess(self, alns: List[Alignment],
+                     max_hits: Optional[int]) -> List[Alignment]:
+        pre = self.preset
+        out: List[Alignment] = []
+        for aln in alns:
+            if aln is None or aln.identity < pre.min_identity:
                 continue
-            if aln.identity < pre.min_identity:
-                continue
-            # different chains can converge to the same placement after
-            # extension; a hit whose target interval largely overlaps an
-            # already-kept hit (same target+strand) is redundant, not a
-            # genuine secondary copy
             redundant = False
             for kept in out:
                 if kept.tname != aln.tname or kept.strand != aln.strand:
@@ -179,84 +237,78 @@ class Aligner:
             out.append(aln)
             if max_hits and len(out) >= max_hits:
                 break
-
-        # mapq: best vs runner-up on the same query region
         self._assign_mapq(out)
         return out
 
     # ------------------------------------------------------------------
-    def _align_chain(self, qname: str, codes: np.ndarray, chain: Chain,
-                     s_id: int, strand: int, primary: bool
-                     ) -> Optional[Alignment]:
-        pre = self.preset
-        qlen = len(codes)
-        tname = self.index.seq_names[s_id]
-        tcodes = self._tcodes[tname]
-        tlen = len(tcodes)
-        qc = revcomp_codes(codes) if strand else codes
-        params = dp.DPParams(match=pre.match, mismatch=pre.mismatch,
-                             gap_open=pre.gap_open, gap_extend=pre.gap_extend)
+    def map_seq(self, qname: str, codes: np.ndarray,
+                max_hits: Optional[int] = None) -> List[Alignment]:
+        return self.map_batch({qname: codes}, max_hits=max_hits)[qname]
 
-        qs, qe = chain.q_span
-        ts, te = chain.t_span
-        qe = min(qe, qlen)
-        te = min(te, tlen)
+    def map_batch(self, queries: Dict[str, np.ndarray],
+                  max_hits: Optional[int] = None
+                  ) -> Dict[str, List[Alignment]]:
+        """Map many queries, batching every chain-region/extension DP across
+        the whole batch (the wavefront backend dispatches one bucketed
+        kernel call per (mode, width) group)."""
+        params = dp.DPParams(match=self.preset.match,
+                             mismatch=self.preset.mismatch,
+                             gap_open=self.preset.gap_open,
+                             gap_extend=self.preset.gap_extend)
+        jobs = []      # (qname, chain, s_id, strand, primary, geom, pieces)
+        for qname, codes in queries.items():
+            for chain, s_id, st, primary in self._plan(codes):
+                pieces, geom = self._chain_pieces(codes, chain, s_id, st)
+                jobs.append((qname, codes, chain, s_id, st, primary, geom,
+                             pieces))
 
-        # region DP with anchor-guided band
-        link_dt = np.diff(chain.tpos) if chain.n_anchors > 1 else np.zeros(1)
-        wneed = int(max(256, (link_dt.max() if len(link_dt) else 0) + 160))
-        width = min(dp._bucket(wneed), 2048)
-        sub_q = qc[qs:qe]
-        sub_t = tcodes[ts:te]
-        try:
-            res = self._dp(sub_q, sub_t, dp.GLOBAL, params, width=width,
-                           guide=(chain.qpos - qs, chain.tpos - ts))
-        except RuntimeError:
-            return None
-        if res["score"] <= dp.NEG_INF // 2:
-            return None
-        cigar = list(res["cigar"])
-        score = res["score"]
-
-        # right extension
-        ext_t_len = min(tlen - te, (qlen - qe) + 500)
-        qr_cap = min(qlen - qe, ext_t_len + pre.band_width)
-        if qr_cap > 0 and ext_t_len > 0:
-            r = self._dp(qc[qe:qe + qr_cap], tcodes[te:te + ext_t_len],
-                         dp.EXTEND, params)
-            cigar = _merge_cigar(cigar, r["cigar"])
-            qe += r["qend"]
-            te += r["tend"]
-            score += r["score"]
-
-        # left extension (reverse both)
-        ext_t_len = min(ts, qs + 500)
-        ql_cap = min(qs, ext_t_len + pre.band_width)
-        if ql_cap > 0 and ext_t_len > 0:
-            lq = qc[qs - ql_cap:qs][::-1].copy()
-            lt = tcodes[ts - ext_t_len:ts][::-1].copy()
-            r = self._dp(lq, lt, dp.EXTEND, params)
-            left_cigar = list(reversed(r["cigar"]))
-            cigar = _merge_cigar(left_cigar, cigar)
-            qs -= r["qend"]
-            ts -= r["tend"]
-            score += r["score"]
-
-        matches = dp.count_matches(qc, tcodes, cigar, qs, ts)
-        nm, ni, nd, blk = dp.cigar_stats(cigar)
-        if blk == 0:
-            return None
-        # report original-strand query coords
-        if strand:
-            oqs, oqe = qlen - qe, qlen - qs
+        # dispatch all pieces
+        piece_results = [dict() for _ in jobs]
+        if self.use_wavefront:
+            buckets: Dict[tuple, list] = {}
+            for ji, (*_x, pieces) in enumerate(jobs):
+                for tag, (q, t, mode, width, guide) in pieces.items():
+                    wave_w = max(128, (width or 256) // 2)
+                    if len(q) == 0 or len(t) == 0:
+                        piece_results[ji][tag] = dp.align_pair(
+                            q, t, mode, params)
+                        continue
+                    buckets.setdefault((mode, wave_w), []).append(
+                        (ji, tag, q, t, guide))
+            from telr_tpu.kernels.pallas_wavefront import wavefront_align
+            for (mode, wave_w), items in buckets.items():
+                pairs = [(q, t) for _, _, q, t, _ in items]
+                guides = [g for _, _, _, _, g in items]
+                res = wavefront_align(pairs, wave_w, mode, params,
+                                      guides=guides,
+                                      interpret=self._wave_interpret)
+                for (ji, tag, *_r), r in zip(items, res):
+                    piece_results[ji][tag] = r
         else:
-            oqs, oqe = qs, qe
-        return Alignment(
-            qname=qname, qlen=qlen, qstart=int(oqs), qend=int(oqe),
-            strand="-" if strand else "+", tname=tname, tlen=tlen,
-            tstart=int(ts), tend=int(te), matches=int(matches),
-            blocklen=int(blk), mapq=0, score=int(score), cigar=cigar,
-            primary=primary)
+            for ji, (*_x, pieces) in enumerate(jobs):
+                for tag, (q, t, mode, width, guide) in pieces.items():
+                    if guide is not None and width is not None and len(q) \
+                            and len(t):
+                        off = dp.offsets_from_path(len(q), len(t), width,
+                                                   guide[0], guide[1])
+                        piece_results[ji][tag] = dp.align_pair(
+                            q, t, mode, params, width=width, off=off)
+                    else:
+                        piece_results[ji][tag] = dp.align_pair(
+                            q, t, mode, params, width=width)
+
+        # assemble + per-query postprocess (order preserved)
+        per_query: Dict[str, List[Alignment]] = {q: [] for q in queries}
+        for ji, (qname, codes, chain, s_id, st, primary, geom, _p) in \
+                enumerate(jobs):
+            try:
+                aln = self._assemble_chain(qname, codes, chain, s_id, st,
+                                           primary, geom, piece_results[ji])
+            except RuntimeError:
+                aln = None
+            per_query[qname].append(aln)
+        return {qname: self._postprocess(alns, max_hits)
+                for qname, alns in per_query.items()}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -289,8 +341,8 @@ class Aligner:
     # ------------------------------------------------------------------
     def map_all(self, queries: SeqDict, max_hits: Optional[int] = None
                 ) -> Dict[str, List[Alignment]]:
-        return {s.name: self.map_seq(s.name, s.codes, max_hits=max_hits)
-                for s in queries}
+        return self.map_batch({s.name: s.codes for s in queries},
+                              max_hits=max_hits)
 
 
 def _merge_cigar(a: List[Tuple[str, int]], b: List[Tuple[str, int]]

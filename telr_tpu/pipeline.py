@@ -110,10 +110,10 @@ def run_pipeline(
             store = ckpt.load_alignments("alignment")
             logger.info("alignment stage restored from checkpoint")
         else:
-            aligner = Aligner(reference, config.read_preset)
-            alns = []
-            for s in reads:
-                alns.extend(aligner.map_seq(s.name, s.codes))
+            aligner = Aligner(reference, config.read_preset,
+                              use_wavefront=config.use_wavefront)
+            result = aligner.map_batch({s.name: s.codes for s in reads})
+            alns = [a for hits in result.values() for a in hits]
             store = AlignmentStore(alns)
             ckpt.save_alignments("alignment", store)
 
