@@ -7,9 +7,11 @@ recurrence), so there are no dynamic rolls and no intra-step scan — each
 step is ~45 dense VPU ops updating 8×W cells.
 
 Per-step metadata (drift bit, entering q/t codes, packed in one int32) is
-precomputed host-side and streamed from a (8, S) VMEM array in 128-step
-tiles; the inner 128 steps are python-unrolled so every metadata extraction
-is a static lane slice.
+precomputed host-side (native C++ walk) and streamed from a (8, S) VMEM
+array; steps run 8-at-a-time with state chained through registers inside
+each unrolled block, and paired ±1 shifts share double-width packed rolls.
+Batch shapes (group count, step budget) are bucketed to powers of two for
+stable compile keys.
 """
 
 from __future__ import annotations
@@ -300,6 +302,12 @@ def prepare_wavefront_batch(
     from the kernel call so steady-state runs amortise it."""
     n = len(pairs)
     G = -(-n // 8)
+    # bucket the group count to powers of two so repeated batches reuse
+    # compiled kernels (grid size is a compile key)
+    Gb = 1
+    while Gb < G:
+        Gb *= 2
+    G = Gb
     scheds: List[Optional[WaveSchedule]] = []
     for idx in range(G * 8):
         if idx < n:
@@ -311,6 +319,11 @@ def prepare_wavefront_batch(
             scheds.append(None)
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
     S_pad = max(-(-S_max // STEP_TILE) * STEP_TILE, STEP_TILE)
+    # power-of-two step budget: stable compile keys across ragged batches
+    Sb = STEP_TILE
+    while Sb < S_pad:
+        Sb *= 2
+    S_pad = Sb
 
     meta = np.zeros((G, 8, S_pad), dtype=np.int32)
     init = np.full((G, 24, width), NEG_INF, dtype=np.int32)
