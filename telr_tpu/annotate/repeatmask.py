@@ -13,13 +13,13 @@ filtered) using the shared seed-chain-extend core — the rmblast role.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 from telr_tpu.config import LIB_TO_SEQ, AlignPreset
 from telr_tpu.io.seqs import SeqDict
 from telr_tpu.kernels.mapper import Aligner
 from telr_tpu.ops.intervals import Intervals
-import dataclasses
 
 
 def repeatmask_reference(
