@@ -33,12 +33,9 @@ def _realign_store(contig: Sequence, read_names: List[str], reads: SeqDict,
                    preset: AlignPreset) -> AlignmentStore:
     target = SeqDict([contig])
     aligner = Aligner(target, preset)
-    alns = []
-    for rn in read_names:
-        if rn not in reads:
-            continue
-        hits = [h for h in aligner.map_seq(rn, reads[rn].codes) if h.primary]
-        alns.extend(hits)
+    queries = {rn: reads[rn].codes for rn in read_names if rn in reads}
+    result = aligner.map_batch(queries)
+    alns = [h for hits in result.values() for h in hits if h.primary]
     return AlignmentStore(alns)
 
 

@@ -123,10 +123,10 @@ def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
     for _ in range(rounds):
         target = SeqDict([Sequence(locus_name, consensus)])
         aligner = Aligner(target, preset)
+        result = aligner.map_batch({rn: reads[rn].codes for rn in avail})
         alns: List[Tuple[Alignment, np.ndarray]] = []
         for rn in avail:
-            hits = [h for h in aligner.map_seq(rn, reads[rn].codes)
-                    if h.primary]
+            hits = [h for h in result.get(rn, []) if h.primary]
             if not hits:
                 continue
             best = max(hits, key=lambda h: h.score)
