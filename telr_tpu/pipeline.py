@@ -167,6 +167,24 @@ def run_pipeline(
         final = generate_output(
             lift_report, te_freq, te_seqs, records, contig_te, contigs,
             reference, out_dir, sample_name, ref_path=reference_path)
+        # run provenance (the reference exports its conda env,
+        # telr.py:184-185 / TELR_utility.py:76-89)
+        import dataclasses as _dc
+        import sys as _sys
+        try:
+            import jax as _jax
+            jv = _jax.__version__
+        except Exception:
+            jv = None
+        import numpy as _np
+        with open(os.path.join(out_dir, "run_env.json"), "w") as f:
+            json.dump({
+                "telr_tpu": __import__("telr_tpu").__version__,
+                "python": _sys.version.split()[0],
+                "jax": jv,
+                "numpy": _np.__version__,
+                "config": _dc.asdict(config),
+            }, f, indent=2)
         loci_eval.write(os.path.join(out_dir,
                                      sample_name + ".loci_eval.tsv"))
         with open(os.path.join(out_dir, "liftover_summary.json"), "w") as f:
