@@ -82,7 +82,10 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         return jnp.where(lane == 0, neg, r)
 
     def guard(x, c):
-        return jnp.where(x > neg // 2, x - c, neg)
+        # int32 headroom note: sentinels are ~-2^30; subtracting gap costs
+        # for any feasible step count keeps them far below any real score
+        # and far above int32 overflow, so no clamping is needed.
+        return x - c
 
     UNROLL = 8  # 8 | STEP_TILE, so an unrolled block never straddles tiles
 
@@ -160,7 +163,7 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         D = jnp.maximum(guard(Hh, go + ge), guard(Dh, ge))
         sc = jnp.where((QW == 4) | (TW >= 4), jnp.int32(amb),
                        jnp.where(QW == TW, jnp.int32(ma), jnp.int32(-mi)))
-        Hdg = jnp.where(Hd > neg // 2, Hd + sc, neg)
+        Hdg = Hd + sc
         H = jnp.maximum(Hdg, jnp.maximum(I, D))
         if mode == LOCAL:
             H = jnp.maximum(H, 0)
