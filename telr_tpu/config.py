@@ -30,9 +30,10 @@ class AlignPreset:
     match: int
     mismatch: int
     gap_open: int
-    gap_extend: int
-    gap_open2: int              # long-gap open (dual affine, minimap2-style)
-    gap_extend2: int            # long-gap extend
+    gap_extend: int             # single affine gap model; deviation from
+                                # minimap2's dual-affine long-gap scoring is
+                                # deliberate — long gaps are handled by chain
+                                # splitting, not by a second gap component
     min_identity: float         # post-filter on alignment identity
     max_secondary: int          # secondary alignments kept
 
@@ -41,7 +42,7 @@ class AlignPreset:
 MAP_PB = AlignPreset(
     name="map-pb", k=15, w=10, min_chain_anchors=3, min_chain_score=40,
     max_anchor_gap=5000, band_width=512, match=2, mismatch=4, gap_open=4,
-    gap_extend=2, gap_open2=24, gap_extend2=1, min_identity=0.0,
+    gap_extend=2, min_identity=0.0,
     max_secondary=5,
 )
 
@@ -49,7 +50,7 @@ MAP_PB = AlignPreset(
 MAP_ONT = AlignPreset(
     name="map-ont", k=15, w=10, min_chain_anchors=3, min_chain_score=40,
     max_anchor_gap=5000, band_width=512, match=2, mismatch=4, gap_open=4,
-    gap_extend=2, gap_open2=24, gap_extend2=1, min_identity=0.0,
+    gap_extend=2, min_identity=0.0,
     max_secondary=5,
 )
 
@@ -58,7 +59,7 @@ MAP_ONT = AlignPreset(
 ASM10 = AlignPreset(
     name="asm10", k=19, w=10, min_chain_anchors=2, min_chain_score=40,
     max_anchor_gap=2000, band_width=512, match=1, mismatch=9, gap_open=16,
-    gap_extend=2, gap_open2=41, gap_extend2=1, min_identity=0.8,
+    gap_extend=2, min_identity=0.8,
     max_secondary=10,
 )
 
@@ -68,7 +69,7 @@ ASM10 = AlignPreset(
 LIB_TO_SEQ = AlignPreset(
     name="lib2seq", k=11, w=5, min_chain_anchors=2, min_chain_score=20,
     max_anchor_gap=2000, band_width=512, match=2, mismatch=3, gap_open=5,
-    gap_extend=2, gap_open2=24, gap_extend2=1, min_identity=0.6,
+    gap_extend=2, min_identity=0.6,
     max_secondary=50,
 )
 

@@ -336,8 +336,9 @@ def prepare_wavefront_batch(
     for idx, sched in enumerate(scheds):
         g, r = divmod(idx, 8)
         if sched is None:
-            # dummy pair: drift +1 forever, zero-length
-            meta[g, r, :] = 1
+            # dummy pair: drift +1 forever, zero-length; codes 4 so pad
+            # steps can never score a match regardless of lengths
+            meta[g, r, :] = 1 | (4 << 1) | (4 << 4)
             init[g, 8 + r, :] = 4
             init[g, 16 + r, :] = 4
             continue
@@ -346,8 +347,7 @@ def prepare_wavefront_batch(
         t_in = sched.t_in.astype(np.int32) & 7
         packed = drift_bits | (q_in << 1) | (t_in << 4)
         meta[g, r, :sched.n_steps] = packed
-        meta[g, r, sched.n_steps:] = 1  # pad: drift +1, codes 0 (harmless)
-        # pad steps must not introduce matches: set codes to 4
+        # pad steps must not introduce matches: drift +1, codes 4
         meta[g, r, sched.n_steps:] = 1 | (4 << 1) | (4 << 4)
 
         q, t = pairs[idx]

@@ -214,15 +214,15 @@ def numpy_wavefront(q: np.ndarray, t: np.ndarray, sched: WaveSchedule,
         else:
             Hd = H2
 
-        I = np.maximum(np.where(Hv > neg // 2, Hv - go - ge, neg),
-                       np.where(Iv > neg // 2, Iv - ge, neg))
-        D = np.maximum(np.where(Hh > neg // 2, Hh - go - ge, neg),
-                       np.where(Dh > neg // 2, Dh - ge, neg))
+        # no sentinel clamping — mirrors the kernel exactly (int32 headroom:
+        # sentinels stay far below real scores for any feasible step count)
+        I = np.maximum(Hv - go - ge, Iv - ge)
+        D = np.maximum(Hh - go - ge, Dh - ge)
         qs = QW
         ts = TW
         sc = np.where((qs == 4) | (ts >= 4), amb,
                       np.where(qs == ts, ma, -mi))
-        Hdg = np.where(Hd > neg // 2, Hd + sc, neg)
+        Hdg = Hd + sc
         H = np.maximum(Hdg, np.maximum(I, D))
         if mode == LOCAL:
             H = np.maximum(H, 0)

@@ -43,6 +43,16 @@ def _cigar_parse(s: str):
     return out
 
 
+def _atomic_json(path: str, obj) -> None:
+    """Write JSON via tmp-file + rename so a crash mid-write never leaves a
+    truncated payload (the whole point of checkpointing is surviving
+    mid-run death)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class Checkpointer:
     def __init__(self, directory: Optional[str]):
         self.dir = directory
@@ -56,8 +66,13 @@ class Checkpointer:
     def completed(self) -> List[str]:
         if not self.dir or not os.path.isfile(self._manifest_path()):
             return []
-        with open(self._manifest_path()) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a manifest predating atomic writes may be truncated; treat as
+            # "nothing completed" rather than crashing the resume
+            return []
 
     def mark(self, stage: str) -> None:
         if not self.dir:
@@ -65,8 +80,7 @@ class Checkpointer:
         done = self.completed()
         if stage not in done:
             done.append(stage)
-        with open(self._manifest_path(), "w") as f:
-            json.dump(done, f)
+        _atomic_json(self._manifest_path(), done)
 
     def has(self, stage: str) -> bool:
         return self.dir is not None and stage in self.completed()
@@ -83,8 +97,7 @@ class Checkpointer:
             d = dataclasses.asdict(a)
             d["cigar"] = _cigar_str(a.cigar)
             rows.append(d)
-        with open(self._p(stage + ".json"), "w") as f:
-            json.dump(rows, f)
+        _atomic_json(self._p(stage + ".json"), rows)
         self.mark(stage)
 
     def load_alignments(self, stage: str) -> AlignmentStore:
@@ -99,8 +112,8 @@ class Checkpointer:
     def save_records(self, stage: str, records: List[SVRecord]) -> None:
         if not self.dir:
             return
-        with open(self._p(stage + ".json"), "w") as f:
-            json.dump([dataclasses.asdict(r) for r in records], f)
+        _atomic_json(self._p(stage + ".json"),
+                     [dataclasses.asdict(r) for r in records])
         self.mark(stage)
 
     def load_records(self, stage: str) -> List[SVRecord]:
@@ -111,9 +124,10 @@ class Checkpointer:
                   extra: Optional[dict] = None) -> None:
         if not self.dir:
             return
-        write_fasta(seqs, self._p(stage + ".fa"))
-        with open(self._p(stage + ".json"), "w") as f:
-            json.dump(extra or {}, f)
+        tmp_fa = self._p(stage + ".fa.tmp")
+        write_fasta(seqs, tmp_fa)
+        os.replace(tmp_fa, self._p(stage + ".fa"))
+        _atomic_json(self._p(stage + ".json"), extra or {})
         self.mark(stage)
 
     def load_seqs(self, stage: str) -> Tuple[SeqDict, dict]:
@@ -131,8 +145,7 @@ class Checkpointer:
             "end": [int(x) for x in iv.end],
             "cols": iv.cols,
         }
-        with open(self._p(stage + ".json"), "w") as f:
-            json.dump(payload, f)
+        _atomic_json(self._p(stage + ".json"), payload)
         self.mark(stage)
 
     def load_intervals(self, stage: str) -> Intervals:
@@ -144,8 +157,7 @@ class Checkpointer:
     def save_json(self, stage: str, obj) -> None:
         if not self.dir:
             return
-        with open(self._p(stage + ".json"), "w") as f:
-            json.dump(obj, f)
+        _atomic_json(self._p(stage + ".json"), obj)
         self.mark(stage)
 
     def load_json(self, stage: str):
