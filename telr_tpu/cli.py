@@ -24,7 +24,9 @@ def get_args(argv=None):
                     "long read data")
     required = p.add_argument_group("required arguments")
     required.add_argument("-i", "--reads", required=True,
-                          help="reads in fasta/fastq format")
+                          help="reads in fasta/fastq format, or a "
+                               "pre-aligned BAM/SAM (skips the alignment "
+                               "stage, reference TELR_input.py:299-305)")
     required.add_argument("-r", "--reference", required=True,
                           help="reference genome in fasta format")
     required.add_argument("-l", "--library", required=True,
@@ -52,8 +54,13 @@ def get_args(argv=None):
     p.add_argument("--min_support", type=int, default=5,
                    help="min supporting reads per insertion")
     p.add_argument("--different_contig_name", action="store_true")
-    p.add_argument("--minimap2_family", action="store_true")
-    p.add_argument("-k", "--keep_files", action="store_true")
+    p.add_argument("--minimap2_family", action="store_true",
+                   help="keep the aligner-derived TE family labels instead "
+                        "of re-annotating against the library (reference "
+                        "default is re-annotation, TELR_input.py:137-142)")
+    p.add_argument("-k", "--keep_files", action="store_true",
+                   help="keep per-stage intermediate checkpoints under "
+                        "<out>/intermediate_files (reference telr.py:179-180)")
     p.add_argument("--checkpoint_dir", default=None,
                    help="per-stage checkpoint directory (resume after the "
                         "last completed stage)")
@@ -84,7 +91,7 @@ def config_from_args(args) -> TELRConfig:
                     flank_offset=args.af_flank_offset,
                     te_interval=args.af_te_interval,
                     te_offset=args.af_te_offset),
-        minimap2_family=True,
+        minimap2_family=args.minimap2_family,
         different_contig_name=args.different_contig_name,
         keep_files=args.keep_files,
         threads=args.thread,
@@ -97,8 +104,13 @@ def main(argv=None):
     cfg.validate()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
+    # -k keeps per-stage intermediates: without an explicit checkpoint_dir,
+    # route them to <out>/intermediate_files (the reference's kept tmp dir)
+    ckpt_dir = args.checkpoint_dir
+    if ckpt_dir is None and args.keep_files:
+        ckpt_dir = os.path.join(out, "intermediate_files")
     result = run_pipeline(args.reads, args.reference, args.library, out, cfg,
-                          checkpoint_dir=args.checkpoint_dir,
+                          checkpoint_dir=ckpt_dir,
                           profile_dir=args.profile_dir)
     print("TELR finished!")
     return result

@@ -149,7 +149,10 @@ class TELRConfig:
     liftover: LiftoverConfig = dataclasses.field(default_factory=LiftoverConfig)
     af: AFConfig = dataclasses.field(default_factory=AFConfig)
     annotate: AnnotateConfig = dataclasses.field(default_factory=AnnotateConfig)
-    minimap2_family: bool = True   # use aligner-derived family labels
+    minimap2_family: bool = False  # False (reference default,
+                                   # TELR_input.py:137-142): re-annotate TE
+                                   # families RepeatMasker-style; True: keep
+                                   # aligner-derived labels
     different_contig_name: bool = False
     keep_files: bool = False
     threads: int = 1               # host-side worker hint (IO only)

@@ -99,14 +99,26 @@ def run_pipeline(
                             stage_seconds[name])
         return _T()
 
+    # pre-aligned input (BAM/SAM) skips stage 1a, mirroring the reference's
+    # BAM path (TELR_input.py:299-305, telr.py:58-61); reads are
+    # reconstructed from the alignment records like `samtools fasta`
+    prealigned = reads_path.endswith((".bam", ".sam", ".sam.gz"))
     with timed("parse_input"):
-        reads = read_fasta(reads_path)
+        if prealigned:
+            from telr_tpu.io.samio import read_alignment_file
+            store, reads = read_alignment_file(reads_path)
+            logger.info("pre-aligned input provided, skip alignment step")
+        else:
+            reads = read_fasta(reads_path)
+            store = None
         reference = read_fasta(reference_path)
         library = read_fasta(library_path)
     loci_eval = LociEval()
 
     with timed("alignment"):
-        if ckpt.has("alignment"):
+        if store is not None:
+            pass  # pre-aligned input
+        elif ckpt.has("alignment"):
             store = ckpt.load_alignments("alignment")
             logger.info("alignment stage restored from checkpoint")
         else:
