@@ -29,6 +29,12 @@ class AlignmentStore:
         self._starts: Dict[str, np.ndarray] = {
             t: np.array([a.tstart for a in lst], dtype=np.int64)
             for t, lst in self._by_target.items()}
+        # running max of tend makes fetch O(log n + k): rows before the
+        # first index whose cummax(tend) exceeds `start` cannot overlap
+        self._cummax_end: Dict[str, np.ndarray] = {
+            t: np.maximum.accumulate(
+                np.array([a.tend for a in lst], dtype=np.int64))
+            for t, lst in self._by_target.items()}
 
     def targets(self) -> List[str]:
         return list(self._by_target.keys())
@@ -41,9 +47,19 @@ class AlignmentStore:
             yield from lst
 
     def fetch(self, tname: str, start: int, end: int) -> List[Alignment]:
-        """Alignments overlapping [start, end) on target tname."""
-        lst = self._by_target.get(tname, [])
-        return [a for a in lst if a.tstart < end and a.tend > start]
+        """Alignments overlapping [start, end) on target tname.
+
+        Binary search over the position-sorted arrays (O(log n + k)), not a
+        linear scan — at genome scale every SV-cluster count and AF window
+        pays this path thousands of times."""
+        lst = self._by_target.get(tname)
+        if not lst:
+            return []
+        starts = self._starts[tname]
+        hi = int(np.searchsorted(starts, end, side="left"))   # tstart < end
+        cm = self._cummax_end[tname]
+        lo = int(np.searchsorted(cm[:hi], start, side="right"))
+        return [a for a in lst[lo:hi] if a.tend > start]
 
     def fetch_read_names(self, tname: str, start: int, end: int) -> List[str]:
         seen, out = set(), []

@@ -79,8 +79,11 @@ class Intervals:
 
     def sort(self) -> "Intervals":
         """bedtools sort: lexicographic by chrom, then start, then end."""
-        order = sorted(range(len(self)),
-                       key=lambda i: (self.chrom[i], int(self.start[i]), int(self.end[i])))
+        if len(self) <= 1:
+            return self.take(np.arange(len(self)))
+        # np.unique's inverse codes are lexicographic chrom ranks
+        _, inv = np.unique(np.array(self.chrom), return_inverse=True)
+        order = np.lexsort((self.end, self.start, inv))
         return self.take(order)
 
     def by_chrom(self) -> Dict[str, np.ndarray]:
@@ -157,19 +160,33 @@ def intersect_wao(a: Intervals, b: Intervals) -> List[Tuple[int, int, int]]:
     overlap).
     """
     out: List[Tuple[int, int, int]] = []
-    b_sorted_idx = sorted(range(len(b)),
-                          key=lambda i: (b.chrom[i], int(b.start[i]), int(b.end[i])))
-    b_bychrom: Dict[str, List[int]] = {}
-    for i in b_sorted_idx:
-        b_bychrom.setdefault(b.chrom[i], []).append(i)
+    # per-chrom sorted arrays + running max(end): candidate window for an A
+    # row is found by two binary searches instead of a linear scan over B
+    b_bychrom: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]] = {}
+    idx_by_chrom: Dict[str, List[int]] = {}
+    for i, c in enumerate(b.chrom):
+        idx_by_chrom.setdefault(c, []).append(i)
+    for c, idxs in idx_by_chrom.items():
+        idx = np.array(idxs, dtype=np.int64)
+        bs, be = b.start[idx], b.end[idx]
+        order = np.lexsort((be, bs))
+        idx, bs, be = idx[order], bs[order], be[order]
+        b_bychrom[c] = (idx, bs, be, np.maximum.accumulate(be))
 
     for ai in range(len(a)):
         chrom, astart, aend = a.chrom[ai], int(a.start[ai]), int(a.end[ai])
-        hits = []
-        for bi in b_bychrom.get(chrom, ()):  # small n; linear scan is fine
-            ov = min(aend, int(b.end[bi])) - max(astart, int(b.start[bi]))
-            if ov > 0:
-                hits.append((ai, bi, ov))
+        entry = b_bychrom.get(chrom)
+        hits: List[Tuple[int, int, int]] = []
+        if entry is not None:
+            idx, bs, be, cme = entry
+            hi = int(np.searchsorted(bs, aend, side="left"))
+            lo = int(np.searchsorted(cme[:hi], astart, side="right"))
+            if hi > lo:
+                ov = (np.minimum(aend, be[lo:hi])
+                      - np.maximum(astart, bs[lo:hi]))
+                for j in np.nonzero(ov > 0)[0]:
+                    hits.append((ai, int(idx[lo + j]), int(ov[j])))
         if hits:
             out.extend(hits)
         else:
@@ -214,34 +231,85 @@ def closest(
     with no candidate B yields [(a_idx, -1, None-marker)] with b_idx == -1 and
     distance == -1, mirroring bedtools' "." rows.
     """
-    b_bychrom: Dict[str, List[int]] = {}
-    for i in range(len(b)):
-        b_bychrom.setdefault(b.chrom[i], []).append(i)
+    # Per (chrom[, strand]) group, B is indexed two ways: sorted by start
+    # (with running max end) for the overlap window, and sorted by end for
+    # upstream neighbours.  One A row then costs O(log n + k') — the k
+    # nearest features are pulled from a window around the A interval that
+    # doubles until it provably contains all k distance ranks, so results
+    # are exact (incl. -t all tie semantics) without scanning the
+    # chromosome.
+    b_groups: Dict[tuple, tuple] = {}
+    idx_by_group: Dict[tuple, List[int]] = {}
+    b_strands = b.cols.get(strand_col) if same_strand else None
+    for i, c in enumerate(b.chrom):
+        key = (c, b_strands[i]) if same_strand and b_strands is not None \
+            else (c,)
+        idx_by_group.setdefault(key, []).append(i)
+    for key, idxs in idx_by_group.items():
+        idx = np.array(idxs, dtype=np.int64)
+        bs, be = b.start[idx], b.end[idx]
+        so = np.lexsort((be, bs))
+        eo = np.lexsort((bs, be))
+        b_groups[key] = (idx[so], bs[so], be[so],
+                         np.maximum.accumulate(be[so]),
+                         idx[eo], bs[eo], be[eo])
 
+    a_strands = a.cols.get(strand_col) if same_strand else None
     results: List[List[Tuple[int, int, int]]] = []
     for ai in range(len(a)):
         chrom, astart, aend = a.chrom[ai], int(a.start[ai]), int(a.end[ai])
-        astrand = a.cols.get(strand_col, [None] * len(a))[ai] if same_strand else None
-        cands = []
-        for bi in b_bychrom.get(chrom, ()):
-            if same_strand and b.cols.get(strand_col, [None] * len(b))[bi] != astrand:
-                continue
-            bstart, bend = int(b.start[bi]), int(b.end[bi])
-            d = (_distance_dref if signed else _distance_unsigned)(
-                astart, aend, bstart, bend)
-            cands.append((abs(d), bi, d))
-        if not cands:
+        key = (chrom, a_strands[ai]) if same_strand and a_strands is not None \
+            else (chrom,)
+        entry = b_groups.get(key)
+        if entry is None:
             results.append([(ai, -1, -1)])
             continue
-        cands.sort(key=lambda t: (t[0], t[1]))
-        # keep k distinct distance ranks, all ties included
-        kept: List[Tuple[int, int, int]] = []
-        ranks_seen: List[int] = []
-        for absd, bi, d in cands:
-            if absd not in ranks_seen:
-                if len(ranks_seen) >= k:
-                    break
-                ranks_seen.append(absd)
-            kept.append((ai, bi, d))
-        results.append(kept)
+        idx_s, bs_s, be_s, cme, idx_e, bs_e, be_e = entry
+        n = len(idx_s)
+        hi = int(np.searchsorted(bs_s, aend, side="left"))
+        lo = int(np.searchsorted(cme[:hi], astart, side="right"))
+        up = int(np.searchsorted(be_e, astart, side="right"))
+        w = 4 * k + 8
+        while True:
+            # candidates: overlap window + w nearest upstream (by end)
+            # + w nearest downstream (by start)
+            d_lo, u_lo = min(hi + w, n), max(up - w, 0)
+            parts_i = [idx_s[lo:hi], idx_e[u_lo:up], idx_s[hi:d_lo]]
+            parts_s = [bs_s[lo:hi], bs_e[u_lo:up], bs_s[hi:d_lo]]
+            parts_e = [be_s[lo:hi], be_e[u_lo:up], be_s[hi:d_lo]]
+            idx = np.concatenate(parts_i)
+            if len(idx) == 0:
+                results.append([(ai, -1, -1)])
+                break
+            bs = np.concatenate(parts_s)
+            be = np.concatenate(parts_e)
+            # the overlap window can contain rows that also appear in the
+            # upstream slice (be <= astart inside [lo:hi)) — dedup by index
+            idx, ui = np.unique(idx, return_index=True)
+            bs, be = bs[ui], be[ui]
+            ov = (bs < aend) & (be > astart)
+            d = np.where(ov, 0, np.where(bs >= aend, bs - aend + 1,
+                                         astart - be + 1))
+            if signed:
+                d = np.where(~ov & (be <= astart), -d, d)
+            absd = np.abs(d)
+            order = np.lexsort((idx, absd))   # bedtools tie order: (|d|, bi)
+            sv = absd[order]
+            rank_starts = np.nonzero(np.diff(sv))[0] + 1
+            cut = int(rank_starts[k - 1]) if len(rank_starts) >= k else len(sv)
+            # exact iff every unseen candidate is farther than the last
+            # kept rank: the nearest excluded up/downstream rows bound it
+            horizon = 1 << 62
+            if u_lo > 0:
+                horizon = min(horizon, astart - int(be_e[u_lo - 1]) + 1)
+            if d_lo < n:
+                horizon = min(horizon, int(bs_s[d_lo]) - aend + 1)
+            kth_max = int(sv[cut - 1])
+            done_ranks = len(rank_starts) >= k
+            if (done_ranks and kth_max < horizon) or \
+                    (u_lo == 0 and d_lo == n):
+                results.append([(ai, int(idx[j]), int(d[j]))
+                                for j in order[:cut]])
+                break
+            w *= 2
     return results

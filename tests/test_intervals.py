@@ -121,3 +121,52 @@ def test_sort_lexicographic():
     s = iv.sort()
     assert s.chrom == ["chr1", "chr10", "chr10", "chr2"]
     assert list(s.start) == [9, 1, 5, 1]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("k", [1, 2, 5])
+@pytest.mark.parametrize("same_strand,signed", [(False, False), (True, True)])
+def test_closest_brute_random(seed, k, same_strand, signed):
+    """Pruned-window closest vs an exhaustive per-row reference, with
+    coordinate collisions to force distance ties (-t all)."""
+    rng = np.random.default_rng(seed)
+    nb, na = 200, 40
+    chroms = ["c1", "c2"]
+    def mk(n):
+        ch = [chroms[i] for i in rng.integers(0, 2, n)]
+        s = rng.integers(0, 500, n)          # small range -> many ties
+        e = s + rng.integers(1, 40, n)
+        st = [["+", "-"][i] for i in rng.integers(0, 2, n)]
+        return Intervals(chrom=ch, start=s, end=e, cols={"strand": st})
+    a, b = mk(na), mk(nb)
+
+    def dist_u(as_, ae, bs, be):
+        if bs < ae and be > as_:
+            return 0
+        return bs - ae + 1 if bs >= ae else as_ - be + 1
+
+    got = closest(a, b, same_strand=same_strand, signed=signed, k=k)
+    for ai in range(na):
+        cands = []
+        for bi in range(nb):
+            if b.chrom[bi] != a.chrom[ai]:
+                continue
+            if same_strand and b.cols["strand"][bi] != a.cols["strand"][ai]:
+                continue
+            d = dist_u(int(a.start[ai]), int(a.end[ai]),
+                       int(b.start[bi]), int(b.end[bi]))
+            if signed and d != 0 and int(b.end[bi]) <= int(a.start[ai]):
+                d = -d
+            cands.append((abs(d), bi, d))
+        if not cands:
+            assert got[ai] == [(ai, -1, -1)]
+            continue
+        cands.sort(key=lambda t: (t[0], t[1]))
+        kept, ranks = [], []
+        for absd, bi, d in cands:
+            if absd not in ranks:
+                if len(ranks) >= k:
+                    break
+                ranks.append(absd)
+            kept.append((ai, bi, d))
+        assert got[ai] == kept, f"ai={ai}"
