@@ -29,14 +29,27 @@ from telr_tpu.ops.intervals import Intervals
 from telr_tpu.sv.detect import SVRecord
 
 
-def _realign_store(contig: Sequence, read_names: List[str], reads: SeqDict,
-                   preset: AlignPreset) -> AlignmentStore:
-    target = SeqDict([contig])
-    aligner = Aligner(target, preset)
-    queries = {rn: reads[rn].codes for rn in read_names if rn in reads}
-    result = aligner.map_batch(queries)
-    alns = [h for hits in result.values() for h in hits if h.primary]
-    return AlignmentStore(alns)
+def _realign_stores_batched(
+    targets: List[Sequence],
+    read_name_lists: List[List[str]],
+    reads: SeqDict,
+    preset: AlignPreset,
+    use_wavefront: bool = False,
+) -> List[AlignmentStore]:
+    """Realign each target's read window in ONE pooled dispatch across all
+    (locus x strand) targets — the batched replacement for the reference's
+    two sequential per-locus Pools (TELR_te.py:644-648)."""
+    from telr_tpu.kernels.mapper import map_batch_grouped
+    groups = []
+    for contig, read_names in zip(targets, read_name_lists):
+        aligner = Aligner(SeqDict([contig]), preset,
+                          use_wavefront=use_wavefront)
+        groups.append((aligner, {rn: reads[rn].codes for rn in read_names
+                                 if rn in reads}))
+    results = map_batch_grouped(groups)
+    return [AlignmentStore([h for hits in result.values() for h in hits
+                            if h.primary])
+            for result in results]
 
 
 def _get_te_cov(store: AlignmentStore, cname: str, start: int, end: int,
@@ -94,6 +107,7 @@ def estimate_af(
     read_preset: AlignPreset,
     cfg: AFConfig,
     asm_cfg: AssemblyConfig,
+    use_wavefront: bool = False,
 ) -> Dict[str, dict]:
     """Returns te_freq: contig_name -> {te_5p_cov, ..., freq} exactly as the
     reference builds it (TELR_te.py:758-838)."""
@@ -109,6 +123,10 @@ def estimate_af(
         te_coords[cname] = ((s, e), (clen - e, clen - s))
 
     te_freq: Dict[str, dict] = {}
+    # collect every (locus x strand) realignment target, dispatch once
+    jobs: List[tuple] = []   # (cname, rc, contig_len)
+    targets: List[Sequence] = []
+    read_lists: List[List[str]] = []
     for rec in records:
         cname = rec.locus_name
         te_freq[cname] = {
@@ -121,23 +139,31 @@ def estimate_af(
         if cname not in contigs or cname not in te_coords:
             continue
         contig = contigs[cname]
-        clen = len(contig)
         bp = round((rec.start + rec.end) / 2)
         window_reads = genome_store.fetch_read_names(
             rec.chrom, max(0, bp - asm_cfg.window), bp + asm_cfg.window)
-
         for rc in (False, True):
-            tgt = contig.revcomp() if rc else contig
-            store = _realign_store(tgt, window_reads, reads, read_preset)
-            (s, e) = te_coords[cname][1 if rc else 0]
-            te_5p, te_3p = _get_te_cov(store, cname, s, e, cfg)
-            fl_5p, fl_3p = _get_flank_cov(store, cname, clen, s, e, cfg)
-            sfx = "_rc" if rc else ""
-            te_freq[cname]["te_5p_cov" + sfx] = te_5p
-            te_freq[cname]["te_3p_cov" + sfx] = te_3p
-            te_freq[cname]["flank_5p_cov" + sfx] = fl_5p
-            te_freq[cname]["flank_3p_cov" + sfx] = fl_3p
+            jobs.append((cname, rc, len(contig)))
+            targets.append(contig.revcomp() if rc else contig)
+            read_lists.append(window_reads)
 
+    stores = _realign_stores_batched(targets, read_lists, reads,
+                                     read_preset,
+                                     use_wavefront=use_wavefront)
+    for (cname, rc, clen), store in zip(jobs, stores):
+        (s, e) = te_coords[cname][1 if rc else 0]
+        te_5p, te_3p = _get_te_cov(store, cname, s, e, cfg)
+        fl_5p, fl_3p = _get_flank_cov(store, cname, clen, s, e, cfg)
+        sfx = "_rc" if rc else ""
+        te_freq[cname]["te_5p_cov" + sfx] = te_5p
+        te_freq[cname]["te_3p_cov" + sfx] = te_3p
+        te_freq[cname]["flank_5p_cov" + sfx] = fl_5p
+        te_freq[cname]["flank_3p_cov" + sfx] = fl_3p
+
+    for rec in records:
+        cname = rec.locus_name
+        if cname not in contigs or cname not in te_coords:
+            continue
         taf_5p = _ratio(te_freq[cname]["te_5p_cov"],
                         te_freq[cname]["flank_5p_cov"], cfg)
         taf_3p = _ratio(te_freq[cname]["te_5p_cov_rc"],

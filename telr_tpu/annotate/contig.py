@@ -40,22 +40,31 @@ def annotate_contigs(
     read_preset: AlignPreset,
     cfg: AnnotateConfig,
     loci_eval: LociEval,
+    use_wavefront: bool = False,
 ) -> Tuple[Intervals, SeqDict]:
     """Returns (contig TE annotation intervals with family/strand cols,
-    TE sequences named 'contig:start-end')."""
+    TE sequences named 'contig:start-end').
+
+    The per-locus INS-seq->contig and library->contig mappings (reference
+    serial loops at TELR_te.py:54-84, 113-133) are pooled into one grouped
+    DP dispatch each via `map_batch_grouped`."""
+    from telr_tpu.kernels.mapper import map_batch_grouped
     rec_by_locus = {r.locus_name: r for r in records}
 
-    # 1. INS seq -> contig (primary only)
+    # 1. INS seq -> contig (primary only), all loci in one dispatch
+    step1_loci = [locus for locus in sorted(passed_loci)
+                  if rec_by_locus.get(locus) is not None
+                  and locus in contigs]
+    groups1 = []
+    for locus in step1_loci:
+        aligner = Aligner(SeqDict([contigs[locus]]), read_preset,
+                          use_wavefront=use_wavefront)
+        groups1.append((aligner,
+                        {locus: encode(rec_by_locus[locus].seq)}))
     seq2contig_rows = []
     seq2contig_passed: Set[str] = set()
-    for locus in sorted(passed_loci):
-        rec = rec_by_locus.get(locus)
-        if rec is None or locus not in contigs:
-            continue
-        target = SeqDict([contigs[locus]])
-        aligner = Aligner(target, read_preset)
-        hits = [a for a in aligner.map_seq(locus, encode(rec.seq))
-                if a.primary]
+    for locus, result in zip(step1_loci, map_batch_grouped(groups1)):
+        hits = [a for a in result[locus] if a.primary]
         if not hits:
             continue
         best = max(hits, key=lambda a: a.score)
@@ -65,13 +74,17 @@ def annotate_contigs(
     seq2contig = Intervals.from_rows(seq2contig_rows,
                                      ("name", "score", "strand"))
 
-    # 2. TE library -> contig
+    # 2. TE library -> contig, all loci in one dispatch
+    step2_loci = sorted(seq2contig_passed)
+    groups2 = []
+    for locus in step2_loci:
+        aligner = Aligner(SeqDict([contigs[locus]]), read_preset,
+                          use_wavefront=use_wavefront)
+        groups2.append((aligner, {s.name: s.codes for s in library}))
     te2contig_rows = []
-    for locus in sorted(seq2contig_passed):
-        target = SeqDict([contigs[locus]])
-        aligner = Aligner(target, read_preset)
+    for locus, result in zip(step2_loci, map_batch_grouped(groups2)):
         for s in library:
-            for a in aligner.map_seq(s.name, s.codes):
+            for a in result[s.name]:
                 te2contig_rows.append((a.tname, a.tstart, a.tend,
                                        s.name, a.mapq, a.strand))
     te2contig = Intervals.from_rows(te2contig_rows,

@@ -27,13 +27,18 @@ def repeatmask_reference(
     library: SeqDict,
     preset: Optional[AlignPreset] = None,
     max_copies: int = 1000,
+    use_wavefront: bool = False,
 ) -> Intervals:
-    """Annotate all library-homologous intervals on the reference."""
+    """Annotate all library-homologous intervals on the reference; the whole
+    library is searched in one batched dispatch."""
     if preset is None:
         preset = dataclasses.replace(LIB_TO_SEQ, max_secondary=max_copies)
-    aligner = Aligner(reference, preset, max_occ=4096)
+    aligner = Aligner(reference, preset, max_occ=4096,
+                      use_wavefront=use_wavefront)
+    results = aligner.map_batch({s.name: s.codes for s in library},
+                                max_hits=max_copies)
     rows = []
     for s in library:
-        for a in aligner.map_seq(s.name, s.codes, max_hits=max_copies):
+        for a in results.get(s.name, []):
             rows.append((a.tname, a.tstart, a.tend, s.name, ".", a.strand))
     return Intervals.from_rows(rows, ("family", "score", "strand")).sort()

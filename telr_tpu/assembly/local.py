@@ -105,55 +105,102 @@ def consensus_vote(backbone: np.ndarray,
 
 
 def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
-                   preset: AlignPreset, cfg: AssemblyConfig
-                   ) -> Optional[Sequence]:
-    """Assemble one locus from its supporting reads."""
-    avail = [r for r in read_names if r in reads]
-    if len(avail) < cfg.min_reads:
-        return None
-    avail = avail[: cfg.max_reads]
-    lens = sorted(avail, key=lambda r: len(reads[r]))
-    backbone_name = lens[len(lens) // 2]
-    backbone = reads[backbone_name].codes
-    if len(backbone) > cfg.max_locus_span:
-        backbone = backbone[: cfg.max_locus_span]
-
-    consensus = backbone
-    rounds = 1 + max(0, cfg.polish_iterations)
-    for _ in range(rounds):
-        target = SeqDict([Sequence(locus_name, consensus)])
-        aligner = Aligner(target, preset)
-        result = aligner.map_batch({rn: reads[rn].codes for rn in avail})
-        alns: List[Tuple[Alignment, np.ndarray]] = []
-        for rn in avail:
-            hits = [h for h in result.get(rn, []) if h.primary]
-            if not hits:
-                continue
-            best = max(hits, key=lambda h: h.score)
-            alns.append((best, reads[rn].codes))
-        if not alns:
-            return None
-        new_consensus = consensus_vote(consensus, alns)
-        if new_consensus.size == 0:
-            return None
-        if np.array_equal(new_consensus, consensus):
-            break
-        consensus = new_consensus
-    return Sequence(locus_name, consensus, description=f"len={len(consensus)}")
+                   preset: AlignPreset, cfg: AssemblyConfig,
+                   use_wavefront: bool = False) -> Optional[Sequence]:
+    """Assemble one locus from its supporting reads (single-locus wrapper
+    over the batched path)."""
+    contigs, passed = _assemble_batch([(locus_name, read_names)], reads,
+                                      preset, cfg, LociEval(),
+                                      use_wavefront=use_wavefront)
+    return contigs[locus_name] if locus_name in passed else None
 
 
 def assemble_all(records: List[SVRecord], reads: SeqDict,
                  preset: AlignPreset, cfg: AssemblyConfig,
-                 loci_eval: LociEval) -> Tuple[SeqDict, Set[str]]:
+                 loci_eval: LociEval,
+                 use_wavefront: bool = False) -> Tuple[SeqDict, Set[str]]:
     """Assemble every candidate locus (reference get_local_contigs,
     TELR_assembly.py:13-101).  Returns (contigs, assembly_passed_loci)."""
+    return _assemble_batch([(r.locus_name, r.reads) for r in records],
+                           reads, preset, cfg, loci_eval,
+                           use_wavefront=use_wavefront)
+
+
+def _assemble_batch(items: List[Tuple[str, List[str]]], reads: SeqDict,
+                    preset: AlignPreset, cfg: AssemblyConfig,
+                    loci_eval: LociEval,
+                    use_wavefront: bool = False) -> Tuple[SeqDict, Set[str]]:
+    """All loci advance through the realign+vote rounds in lockstep so each
+    round pools every locus' realignment DPs into one grouped dispatch
+    (`map_batch_grouped`) — the TPU analogue of the reference's per-locus
+    process fan-out (TELR_assembly.py:70-73), but as a few padded kernel
+    launches instead of N processes."""
+    from telr_tpu.kernels.mapper import map_batch_grouped
+
+    class _State:
+        __slots__ = ("name", "avail", "consensus", "active", "failed")
+
+        def __init__(self, name, avail, consensus):
+            self.name = name
+            self.avail = avail
+            self.consensus = consensus
+            self.active = True
+            self.failed = False
+
+    states: List[_State] = []
+    for locus_name, read_names in items:
+        avail = [r for r in read_names if r in reads]
+        if len(avail) < cfg.min_reads:
+            loci_eval.add(locus_name, "local assembly failed")
+            continue
+        avail = avail[: cfg.max_reads]
+        lens = sorted(avail, key=lambda r: len(reads[r]))
+        backbone = reads[lens[len(lens) // 2]].codes
+        if len(backbone) > cfg.max_locus_span:
+            backbone = backbone[: cfg.max_locus_span]
+        states.append(_State(locus_name, avail, backbone))
+
+    rounds = 1 + max(0, cfg.polish_iterations)
+    for _ in range(rounds):
+        live = [st for st in states if st.active]
+        if not live:
+            break
+        groups = []
+        for st in live:
+            target = SeqDict([Sequence(st.name, st.consensus)])
+            aligner = Aligner(target, preset, use_wavefront=use_wavefront)
+            groups.append((aligner,
+                           {rn: reads[rn].codes for rn in st.avail}))
+        results = map_batch_grouped(groups)
+        for st, result in zip(live, results):
+            alns: List[Tuple[Alignment, np.ndarray]] = []
+            for rn in st.avail:
+                hits = [h for h in result.get(rn, []) if h.primary]
+                if not hits:
+                    continue
+                best = max(hits, key=lambda h: h.score)
+                alns.append((best, reads[rn].codes))
+            if not alns:
+                st.active = False
+                st.failed = True
+                continue
+            new_consensus = consensus_vote(st.consensus, alns)
+            if new_consensus.size == 0:
+                st.active = False
+                st.failed = True
+                continue
+            if np.array_equal(new_consensus, st.consensus):
+                st.active = False  # converged
+                continue
+            st.consensus = new_consensus
+
     contigs = SeqDict()
     passed: Set[str] = set()
-    for rec in records:
-        ctg = assemble_locus(rec.locus_name, rec.reads, reads, preset, cfg)
-        if ctg is None:
-            loci_eval.add(rec.locus_name, "local assembly failed")
+    for st in states:
+        if st.failed:
+            loci_eval.add(st.name, "local assembly failed")
             continue
-        contigs.add(ctg)
-        passed.add(rec.locus_name)
+        contigs.add(Sequence(st.name, st.consensus,
+                             description=f"len={len(st.consensus)}"))
+        passed.add(st.name)
     return contigs, passed

@@ -245,70 +245,19 @@ class Aligner:
                 max_hits: Optional[int] = None) -> List[Alignment]:
         return self.map_batch({qname: codes}, max_hits=max_hits)[qname]
 
+    def _params(self) -> dp.DPParams:
+        return dp.DPParams(match=self.preset.match,
+                           mismatch=self.preset.mismatch,
+                           gap_open=self.preset.gap_open,
+                           gap_extend=self.preset.gap_extend)
+
     def map_batch(self, queries: Dict[str, np.ndarray],
                   max_hits: Optional[int] = None
                   ) -> Dict[str, List[Alignment]]:
         """Map many queries, batching every chain-region/extension DP across
         the whole batch (the wavefront backend dispatches one bucketed
         kernel call per (mode, width) group)."""
-        params = dp.DPParams(match=self.preset.match,
-                             mismatch=self.preset.mismatch,
-                             gap_open=self.preset.gap_open,
-                             gap_extend=self.preset.gap_extend)
-        jobs = []      # (qname, chain, s_id, strand, primary, geom, pieces)
-        for qname, codes in queries.items():
-            for chain, s_id, st, primary in self._plan(codes):
-                pieces, geom = self._chain_pieces(codes, chain, s_id, st)
-                jobs.append((qname, codes, chain, s_id, st, primary, geom,
-                             pieces))
-
-        # dispatch all pieces
-        piece_results = [dict() for _ in jobs]
-        if self.use_wavefront:
-            buckets: Dict[tuple, list] = {}
-            for ji, (*_x, pieces) in enumerate(jobs):
-                for tag, (q, t, mode, width, guide) in pieces.items():
-                    wave_w = max(128, (width or 256) // 2)
-                    if len(q) == 0 or len(t) == 0:
-                        piece_results[ji][tag] = dp.align_pair(
-                            q, t, mode, params)
-                        continue
-                    buckets.setdefault((mode, wave_w), []).append(
-                        (ji, tag, q, t, guide))
-            from telr_tpu.kernels.pallas_wavefront import wavefront_align
-            for (mode, wave_w), items in buckets.items():
-                pairs = [(q, t) for _, _, q, t, _ in items]
-                guides = [g for _, _, _, _, g in items]
-                res = wavefront_align(pairs, wave_w, mode, params,
-                                      guides=guides,
-                                      interpret=self._wave_interpret)
-                for (ji, tag, *_r), r in zip(items, res):
-                    piece_results[ji][tag] = r
-        else:
-            for ji, (*_x, pieces) in enumerate(jobs):
-                for tag, (q, t, mode, width, guide) in pieces.items():
-                    if guide is not None and width is not None and len(q) \
-                            and len(t):
-                        off = dp.offsets_from_path(len(q), len(t), width,
-                                                   guide[0], guide[1])
-                        piece_results[ji][tag] = dp.align_pair(
-                            q, t, mode, params, width=width, off=off)
-                    else:
-                        piece_results[ji][tag] = dp.align_pair(
-                            q, t, mode, params, width=width)
-
-        # assemble + per-query postprocess (order preserved)
-        per_query: Dict[str, List[Alignment]] = {q: [] for q in queries}
-        for ji, (qname, codes, chain, s_id, st, primary, geom, _p) in \
-                enumerate(jobs):
-            try:
-                aln = self._assemble_chain(qname, codes, chain, s_id, st,
-                                           primary, geom, piece_results[ji])
-            except RuntimeError:
-                aln = None
-            per_query[qname].append(aln)
-        return {qname: self._postprocess(alns, max_hits)
-                for qname, alns in per_query.items()}
+        return map_batch_grouped([(self, queries)], max_hits=max_hits)[0]
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -343,6 +292,83 @@ class Aligner:
                 ) -> Dict[str, List[Alignment]]:
         return self.map_batch({s.name: s.codes for s in queries},
                               max_hits=max_hits)
+
+
+def map_batch_grouped(
+    groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],
+    max_hits: Optional[int] = None,
+) -> List[Dict[str, List[Alignment]]]:
+    """Map many (aligner, queries) groups with ONE pooled DP dispatch.
+
+    This is the cross-locus batching the reference gets from its
+    multiprocessing fan-outs (TELR_assembly.py:70-73, TELR_te.py:644-648):
+    every chain-region/extension DP from every group lands in the same
+    (params, mode, width) bucket, so a polish round over hundreds of loci
+    issues a handful of padded wavefront kernel launches instead of one
+    host dispatch per locus.  Returns one result dict per group, exactly
+    what each group's `map_batch` would return."""
+    jobs = []  # (group_idx, qname, codes, chain, s_id, st, primary,
+    #            geom, pieces)
+    for gi, (al, queries) in enumerate(groups):
+        for qname, codes in queries.items():
+            for chain, s_id, st, primary in al._plan(codes):
+                pieces, geom = al._chain_pieces(codes, chain, s_id, st)
+                jobs.append((gi, qname, codes, chain, s_id, st, primary,
+                             geom, pieces))
+
+    piece_results = [dict() for _ in jobs]
+    wave_buckets: Dict[tuple, list] = {}
+    for ji, (gi, *_x, pieces) in enumerate(jobs):
+        al = groups[gi][0]
+        params = al._params()
+        if al.use_wavefront:
+            for tag, (q, t, mode, width, guide) in pieces.items():
+                wave_w = max(128, (width or 256) // 2)
+                if len(q) == 0 or len(t) == 0:
+                    piece_results[ji][tag] = dp.align_pair(q, t, mode,
+                                                           params)
+                    continue
+                key = (params.tuple(), mode, wave_w, al._wave_interpret)
+                wave_buckets.setdefault(key, []).append((ji, tag, q, t,
+                                                         guide))
+        else:
+            for tag, (q, t, mode, width, guide) in pieces.items():
+                if guide is not None and width is not None and len(q) \
+                        and len(t):
+                    off = dp.offsets_from_path(len(q), len(t), width,
+                                               guide[0], guide[1])
+                    piece_results[ji][tag] = dp.align_pair(
+                        q, t, mode, params, width=width, off=off)
+                else:
+                    piece_results[ji][tag] = dp.align_pair(
+                        q, t, mode, params, width=width)
+    if wave_buckets:
+        from telr_tpu.kernels.pallas_wavefront import wavefront_align
+        for (ptuple, mode, wave_w, interp), items in wave_buckets.items():
+            pairs = [(q, t) for _, _, q, t, _ in items]
+            guides = [g for _, _, _, _, g in items]
+            res = wavefront_align(pairs, wave_w, mode,
+                                  dp.DPParams(*ptuple), guides=guides,
+                                  interpret=interp)
+            for (ji, tag, *_r), r in zip(items, res):
+                piece_results[ji][tag] = r
+
+    # assemble + per-query postprocess per group (order preserved)
+    per_group: List[Dict[str, List[Alignment]]] = [
+        {q: [] for q in queries} for _, queries in groups]
+    for ji, (gi, qname, codes, chain, s_id, st, primary, geom, _p) in \
+            enumerate(jobs):
+        al = groups[gi][0]
+        try:
+            aln = al._assemble_chain(qname, codes, chain, s_id, st,
+                                     primary, geom, piece_results[ji])
+        except RuntimeError:
+            aln = None
+        per_group[gi][qname].append(aln)
+    return [
+        {qname: groups[gi][0]._postprocess(alns, max_hits)
+         for qname, alns in result.items()}
+        for gi, result in enumerate(per_group)]
 
 
 def _merge_cigar(a: List[Tuple[str, int]], b: List[Tuple[str, int]]

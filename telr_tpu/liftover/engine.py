@@ -135,6 +135,21 @@ _UNLIFTED_TEMPLATE_KEYS = [
 # single-annotation liftover
 # ---------------------------------------------------------------------------
 
+def _extract_flanks(contig, start: int, end: int, flank_len: int):
+    """5'/3' flank codes with the reference's bounds checks
+    (extract_genome_seqs, TELR_liftover.py:191-212)."""
+    contig_len = len(contig)
+    s5, e5 = int(start) - flank_len + 1, int(start)
+    fa_5p = contig.codes[s5:e5] if (s5 >= 0 and e5 <= contig_len) else None
+    if fa_5p is not None and len(fa_5p) == 0:
+        fa_5p = None
+    s3, e3 = int(end), int(end) + flank_len
+    fa_3p = contig.codes[s3:e3] if (s3 >= 0 and e3 <= contig_len) else None
+    if fa_3p is not None and len(fa_3p) == 0:
+        fa_3p = None
+    return fa_5p, fa_3p
+
+
 def lift_annotation(
     chrom: str, start: int, end: int, family: str, strand: str,
     contigs: SeqDict,
@@ -144,6 +159,7 @@ def lift_annotation(
     cfg: LiftoverConfig,
     different_contig_name: bool = False,
     telr_mode: bool = True,
+    prefetched: Optional[dict] = None,
 ) -> dict:
     lift_entries: dict = {}
     prefix = f"{chrom}_{start}_{end}".replace("|", "_")
@@ -158,16 +174,7 @@ def lift_annotation(
     gap_max = cfg.flank_gap_max
     overlap_max = cfg.flank_overlap_max
 
-    # flank extraction (bounds checks per extract_genome_seqs,
-    # TELR_liftover.py:191-212)
-    s5, e5 = int(start) - flank_len + 1, int(start)
-    fa_5p = contig.codes[s5:e5] if (s5 >= 0 and e5 <= contig_len) else None
-    if fa_5p is not None and len(fa_5p) == 0:
-        fa_5p = None
-    s3, e3 = int(end), int(end) + flank_len
-    fa_3p = contig.codes[s3:e3] if (s3 >= 0 and e3 <= contig_len) else None
-    if fa_3p is not None and len(fa_3p) == 0:
-        fa_3p = None
+    fa_5p, fa_3p = _extract_flanks(contig, start, end, flank_len)
 
     if not different_contig_name:
         filter_chrom = "_".join(chrom.split("_")[:-2]) if telr_mode else chrom
@@ -178,7 +185,11 @@ def lift_annotation(
         hits: List[FlankHit] = []
         if codes is None:
             return hits
-        for a in ref_aligner.map_seq(qname, codes):
+        if prefetched is not None and qname in prefetched:
+            alns = prefetched[qname]
+        else:
+            alns = ref_aligner.map_seq(qname, codes)
+        for a in alns:
             if chrom_filter is not None and a.tname != chrom_filter:
                 continue
             hits.append(FlankHit(
@@ -437,9 +448,26 @@ def liftover(
     preset: AlignPreset = ASM10,
     different_contig_name: bool = False,
     telr_mode: bool = True,
+    use_wavefront: bool = False,
 ) -> Tuple[List[dict], Intervals, dict]:
     """Returns (liftover report list, non-reference BED intervals, summary)."""
-    ref_aligner = Aligner(reference, preset)
+    ref_aligner = Aligner(reference, preset, use_wavefront=use_wavefront)
+    # prefetch all flank->reference alignments in ONE batched dispatch
+    # (replaces the reference's per-annotation Pool fan-out,
+    # TELR_liftover.py:1049-1054)
+    queries: dict = {}
+    for i in range(len(bed1)):
+        chrom = bed1.chrom[i]
+        if chrom not in contigs:
+            continue
+        s, e = int(bed1.start[i]), int(bed1.end[i])
+        prefix = f"{chrom}_{s}_{e}".replace("|", "_")
+        fa_5p, fa_3p = _extract_flanks(contigs[chrom], s, e, cfg.flank_len)
+        if fa_5p is not None:
+            queries[prefix + "_5p"] = fa_5p
+        if fa_3p is not None:
+            queries[prefix + "_3p"] = fa_3p
+    prefetched = ref_aligner.map_batch(queries) if queries else {}
     data: List[dict] = []
     for i in range(len(bed1)):
         data.append(lift_annotation(
@@ -447,7 +475,7 @@ def liftover(
             bed1.cols["family"][i], bed1.cols["strand"][i],
             contigs, reference, ref_aligner, bed2, cfg,
             different_contig_name=different_contig_name,
-            telr_mode=telr_mode))
+            telr_mode=telr_mode, prefetched=prefetched))
 
     # cross-locus overlap dedup (TELR_liftover.py:1074-1141)
     rows = []

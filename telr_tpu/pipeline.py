@@ -137,7 +137,9 @@ def run_pipeline(
             records = ckpt.load_records("te_filter")
             logger.info("te_filter stage restored from checkpoint")
         else:
-            records = filter_te_candidates(records, library, loci_eval)
+            records = filter_te_candidates(
+                records, library, loci_eval,
+                use_wavefront=config.use_wavefront)
             records = merge_nearby_records(records, config.sv.merge_window)
             ckpt.save_records("te_filter", records)
 
@@ -147,25 +149,28 @@ def run_pipeline(
             passed = set(extra.get("passed", []))
             logger.info("assembly stage restored from checkpoint")
         else:
-            contigs, passed = assemble_all(records, reads,
-                                           config.read_preset,
-                                           config.assembly, loci_eval)
+            contigs, passed = assemble_all(
+                records, reads, config.read_preset, config.assembly,
+                loci_eval, use_wavefront=config.use_wavefront)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})
 
     with timed("annotate_contig"):
         contig_te, te_seqs = annotate_contigs(
             contigs, passed, library, records, config.read_preset,
-            config.annotate, loci_eval)
+            config.annotate, loci_eval,
+            use_wavefront=config.use_wavefront)
         if not config.minimap2_family:
             contig_te = reannotate_families(contig_te, te_seqs, library)
 
     with timed("allele_frequency"):
         te_freq = estimate_af(records, contigs, contig_te, reads, store,
-                              config.read_preset, config.af, config.assembly)
+                              config.read_preset, config.af, config.assembly,
+                              use_wavefront=config.use_wavefront)
 
     with timed("ref_repeatmask"):
-        ref_te_bed = repeatmask_reference(reference, library)
+        ref_te_bed = repeatmask_reference(
+            reference, library, use_wavefront=config.use_wavefront)
         if len(ref_te_bed) == 0:
             ref_te_bed = None
 
@@ -173,7 +178,7 @@ def run_pipeline(
         lift_report, nonref_bed, summary = liftover(
             contigs, reference, contig_te, ref_te_bed, config.liftover,
             different_contig_name=config.different_contig_name,
-            telr_mode=True)
+            telr_mode=True, use_wavefront=config.use_wavefront)
 
     with timed("output"):
         final = generate_output(

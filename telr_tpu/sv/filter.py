@@ -47,17 +47,21 @@ def filter_te_candidates(
     library: SeqDict,
     loci_eval: LociEval,
     preset: AlignPreset = LIB_TO_SEQ,
+    use_wavefront: bool = False,
 ) -> List[SVRecord]:
     """Keep records whose INS sequence repeat-masks against the library.
 
     ins_te_prop follows the reference's accumulation: per merged interval,
-    round(length/seq_len, 2), summed (TELR_sv.py:298-308).
+    round(length/seq_len, 2), summed (TELR_sv.py:298-308).  All INS
+    sequences are homology-searched in one batched dispatch.
     """
-    aligner = Aligner(library, preset)
+    aligner = Aligner(library, preset, use_wavefront=use_wavefront)
+    results = aligner.map_batch(
+        {rec.locus_name: encode(rec.seq) for rec in records})
     kept: List[SVRecord] = []
     for rec in records:
-        codes = encode(rec.seq)
-        hits = te_hits_on_seq(aligner, rec.locus_name, codes)
+        hits = [(a.qstart, a.qend, a.tname, a.strand, a.score)
+                for a in results.get(rec.locus_name, [])]
         if not hits:
             loci_eval.add(rec.locus_name, "VCF sequence not repeatmasked")
             continue
