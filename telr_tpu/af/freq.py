@@ -52,6 +52,18 @@ def _realign_stores_batched(
             for result in results]
 
 
+class _MeshDepthView:
+    """Serves window medians from a precomputed per-base coverage array
+    (AlignmentStore.median_coverage-compatible surface)."""
+
+    def __init__(self, cov: np.ndarray):
+        self._cov = cov
+
+    def median_coverage(self, _cname: str, start: int, end: int) -> float:
+        seg = self._cov[max(0, start):max(0, end)]
+        return float(np.median(seg)) if seg.size else 0.0
+
+
 def _get_te_cov(store: AlignmentStore, cname: str, start: int, end: int,
                 cfg: AFConfig):
     te_5p = te_3p = None
@@ -108,6 +120,7 @@ def estimate_af(
     cfg: AFConfig,
     asm_cfg: AssemblyConfig,
     use_wavefront: bool = False,
+    mesh=None,
 ) -> Dict[str, dict]:
     """Returns te_freq: contig_name -> {te_5p_cov, ..., freq} exactly as the
     reference builds it (TELR_te.py:758-838)."""
@@ -150,6 +163,13 @@ def estimate_af(
     stores = _realign_stores_batched(targets, read_lists, reads,
                                      read_preset,
                                      use_wavefront=use_wavefront)
+    if mesh is not None:
+        # depth reductions through the mesh: full-contig M-base coverage is
+        # psum-reduced over the "reads" axis (CIGAR-true, bit-identical to
+        # the host path), window medians sliced from the result
+        from telr_tpu.dist.exec import mesh_coverage
+        stores = [_MeshDepthView(mesh_coverage(mesh, st, cname, clen))
+                  for (cname, _rc, clen), st in zip(jobs, stores)]
     for (cname, rc, clen), store in zip(jobs, stores):
         (s, e) = te_coords[cname][1 if rc else 0]
         te_5p, te_3p = _get_te_cov(store, cname, s, e, cfg)

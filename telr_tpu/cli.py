@@ -61,6 +61,9 @@ def get_args(argv=None):
     p.add_argument("-k", "--keep_files", action="store_true",
                    help="keep per-stage intermediate checkpoints under "
                         "<out>/intermediate_files (reference telr.py:179-180)")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="shard stage-1 DP, the locus all-to-all and depth "
+                        "reductions over an N-device jax mesh (0 = off)")
     p.add_argument("--checkpoint_dir", default=None,
                    help="per-stage checkpoint directory (resume after the "
                         "last completed stage)")
@@ -109,9 +112,13 @@ def main(argv=None):
     ckpt_dir = args.checkpoint_dir
     if ckpt_dir is None and args.keep_files:
         ckpt_dir = os.path.join(out, "intermediate_files")
+    mesh = None
+    if args.mesh_devices:
+        from telr_tpu.dist.mesh import make_mesh
+        mesh = make_mesh(args.mesh_devices)
     result = run_pipeline(args.reads, args.reference, args.library, out, cfg,
                           checkpoint_dir=ckpt_dir,
-                          profile_dir=args.profile_dir)
+                          profile_dir=args.profile_dir, mesh=mesh)
     print("TELR finished!")
     return result
 

@@ -1,19 +1,23 @@
-"""Sharded device-side pipeline step.
+"""Sharded device-side pipeline steps.
 
-The compute-dense inner step of stage 1, expressed over a ("reads", "loci")
-mesh:
+Compute-dense inner steps of the pipeline, expressed over a
+("reads", "loci") mesh:
 
-  * the read batch (padded (B, Lq) codes + band offsets) is sharded over the
-    "reads" axis; the reference window is replicated,
-  * each shard runs the banded DP scoring kernel over its reads,
-  * per-base reference coverage is accumulated per shard and reduced with a
-    psum over "reads" (the depth reduction that replaces samtools depth at
-    scale),
-  * breakpoint-evidence histograms reduce the same way, so cluster discovery
-    sees global evidence (the halo-free equivalent of cross-shard breakpoint
-    clustering for single-window steps).
+  * `make_sharded_align_step` — stage-1 scoring: the read batch (padded
+    (B, Lq) codes + band offsets) is sharded over the "reads" axis with the
+    reference window replicated; each shard runs the banded DP scoring
+    kernel over its reads.  The full mapper path runs the same partitioning
+    through `dist.exec.sharded_dp_runner` (with traceback); this score-only
+    step is the screening/compile surface.
+  * `make_locus_score_step` — batched per-locus realignment scoring sharded
+    over the "loci" axis (post all-to-all layout: each locus' read pile
+    stays together).
 
-This function is the multi-chip compile surface validated by
+Depth reductions live in `dist.exec.make_depth_psum_step` — CIGAR-true
+M-span coverage psum-reduced over "reads" (samtools depth -aa semantics),
+which is what `run_pipeline(mesh=...)` actually consumes for AF windows.
+
+These functions are the multi-chip compile surface validated by
 __graft_entry__.dryrun_multichip.
 """
 
@@ -32,43 +36,32 @@ from telr_tpu.kernels import dp
 
 
 def make_sharded_align_step(mesh: Mesh, width: int, mode: int,
-                            params_tuple, cov_bins: int):
-    """Build a jitted sharded step:
+                            params_tuple):
+    """Build a jitted sharded scoring step:
        (q (B,Lq) int8, t (Lt,) int8, off (B,Lq+1) i32, qlen (B,), tlen ())
-       -> (scores (B,), best (B,), coverage (cov_bins,))
-    with q/off/qlen sharded over "reads" and reductions over the mesh."""
+       -> (scores (B,), best (B,))
+    with q/off/qlen sharded over "reads" and t replicated."""
 
     def step(q, t, off, qlen, tlen):
         tb = jnp.broadcast_to(t, (q.shape[0],) + t.shape)
         tl = jnp.broadcast_to(tlen, (q.shape[0],))
-        gscore, best = dp.banded_dp_scores(
+        return dp.banded_dp_scores(
             q, tb, off, qlen, tl, width=width, mode=mode,
             params_tuple=params_tuple)
-        # per-base coverage proxy: each read covers [off[0], off[-1]+width)
-        starts = off[:, 0]
-        ends = jnp.minimum(off[:, -1] + width, tlen)
-        pos = jnp.arange(cov_bins, dtype=jnp.int32)[None, :]
-        covered = ((pos >= starts[:, None]) & (pos < ends[:, None])
-                   & (gscore[:, None] > dp.NEG_INF // 2))
-        coverage = jnp.sum(covered.astype(jnp.int32), axis=0)
-        return gscore, best, coverage
 
     batch_sh = NamedSharding(mesh, P(READS_AXIS))
     repl_sh = NamedSharding(mesh, P())
-    jitted = jax.jit(
+    return jax.jit(
         step,
         in_shardings=(batch_sh, repl_sh, batch_sh, batch_sh, repl_sh),
-        out_shardings=(batch_sh, batch_sh, repl_sh),
+        out_shardings=(batch_sh, batch_sh),
     )
-    return jitted
 
 
-def make_locus_depth_step(mesh: Mesh, width: int, params_tuple):
-    """Batched per-locus depth reduction sharded over the "loci" axis:
+def make_locus_score_step(mesh: Mesh, width: int, params_tuple):
+    """Batched per-locus realignment scoring sharded over the "loci" axis:
        (reads (L, R, Lq) int8, contigs (L, Lt) int8, off (L, R, Lq+1),
-        qlen (L, R), tlen (L,)) -> (scores (L, R), depth (L, Lt))
-    The locus batch is sharded over "loci"; each locus' read pile stays
-    together (post all-to-all layout)."""
+        qlen (L, R), tlen (L,)) -> (gscore (L, R), best (L, R))."""
 
     def step(reads, contigs, off, qlen, tlen):
         L, R, Lq = reads.shape
@@ -76,22 +69,19 @@ def make_locus_depth_step(mesh: Mesh, width: int, params_tuple):
         def per_locus(rq, ct, roff, rql, ctl):
             tb = jnp.broadcast_to(ct, (R,) + ct.shape)
             tl = jnp.broadcast_to(ctl, (R,))
-            gscore, best = dp.banded_dp_scores(
+            return dp.banded_dp_scores(
                 rq, tb, roff, rql, tl, width=width, mode=dp.EXTEND,
                 params_tuple=params_tuple)
-            pos = jnp.arange(ct.shape[0], dtype=jnp.int32)[None, :]
-            starts = roff[:, 0]
-            ends = jnp.minimum(roff[:, -1] + width, ctl)
-            covered = ((pos >= starts[:, None]) & (pos < ends[:, None])
-                       & (best[:, None] > 0))
-            return gscore, jnp.sum(covered.astype(jnp.int32), axis=0)
 
         return jax.vmap(per_locus)(reads, contigs, off, qlen, tlen)
 
     loci_sh = NamedSharding(mesh, P(LOCI_AXIS))
-    jitted = jax.jit(
+    return jax.jit(
         step,
-        in_shardings=(loci_sh, loci_sh, loci_sh, loci_sh, loci_sh),
+        in_shardings=(loci_sh,) * 5,
         out_shardings=(loci_sh, loci_sh),
     )
-    return jitted
+
+
+# backwards-compatible alias (previous name)
+make_locus_depth_step = make_locus_score_step

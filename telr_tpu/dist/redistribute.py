@@ -64,7 +64,7 @@ def make_redistribute_step(mesh: Mesh, capacity: int):
             recv = jax.lax.all_to_all(block, READS_AXIS, split_axis=1,
                                       concat_axis=0, tiled=False)
             return jnp.swapaxes(recv, 0, 1)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         return shard_map(
             inner, mesh=mesh,
             in_specs=P(READS_AXIS, None, None, None),

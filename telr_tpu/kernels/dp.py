@@ -448,23 +448,22 @@ def _bucket(n: int, quanta=(64, 128, 256, 512, 1024, 2048, 4096, 8192,
     return ((n + 8191) // 8192) * 8192
 
 
-def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
+def _prep_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
                width: Optional[int] = None,
-               off: Optional[np.ndarray] = None,
-               want_cigar: bool = True):
-    """Align one code-array pair.  Auto-buckets shapes to bound recompiles.
+               off: Optional[np.ndarray] = None):
+    """Shared padding/bucketing front half of align_pair.
 
-    Returns dict with score, cigar, and (for EXTEND/LOCAL) the end cell
-    (query_end, target_end) plus for LOCAL the start cell.
-    """
+    Returns ("quick", result_dict) for degenerate pairs, else
+    ("job", (q_pad, t_pad, off_pad, lq, lt, width))."""
     lq, lt = len(q), len(t)
     if lq == 0 or (lt == 0 and mode != GLOBAL):
-        return {"score": 0, "cigar": [], "qend": 0, "tend": 0,
-                "qstart": 0, "tstart": 0}
+        return "quick", {"score": 0, "cigar": [], "qend": 0, "tend": 0,
+                         "qstart": 0, "tstart": 0}
     if lt == 0:
-        return {"score": -(params.gap_open + params.gap_extend * lq),
-                "cigar": [("I", lq)], "qend": lq, "tend": 0,
-                "qstart": 0, "tstart": 0}
+        return "quick", {
+            "score": -(params.gap_open + params.gap_extend * lq),
+            "cigar": [("I", lq)], "qend": lq, "tend": 0,
+            "qstart": 0, "tstart": 0}
     if width is None:
         width = _bucket(max(abs(lt - lq) + 65, 128, min(max(lq, lt) + 2, 256)))
     width = min(width, _bucket(lt + 1))
@@ -481,31 +480,120 @@ def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
     t_pad[:lt] = t
     off_pad = np.full(lq_b + 1, off_arr[-1], dtype=np.int32)
     off_pad[: len(off_arr)] = off_arr
+    return "job", (q_pad, t_pad, off_pad, lq, lt, width)
 
+
+def _finish_pair(dirs, gscore, best, besti, bestp, off_pad, lq, lt, mode,
+                 want_cigar: bool):
+    """Shared traceback back half of align_pair."""
+    out = {"qstart": 0, "tstart": 0}
+    if mode == GLOBAL:
+        out["score"] = int(gscore)
+        si, sj = lq, lt
+    else:
+        out["score"] = int(best)
+        si = int(besti)
+        sj = int(off_pad[si]) + int(bestp) if si > 0 else int(bestp)
+    out["qend"], out["tend"] = si, sj
+    if want_cigar:
+        ops, ei, ej = traceback(np.asarray(dirs), off_pad, si, sj, mode)
+        out["cigar"] = ops
+        out["qstart"], out["tstart"] = ei, ej
+    return out
+
+
+def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
+               width: Optional[int] = None,
+               off: Optional[np.ndarray] = None,
+               want_cigar: bool = True):
+    """Align one code-array pair.  Auto-buckets shapes to bound recompiles.
+
+    Returns dict with score, cigar, and (for EXTEND/LOCAL) the end cell
+    (query_end, target_end) plus for LOCAL the start cell.
+    """
+    kind, payload = _prep_pair(q, t, mode, params, width, off)
+    if kind == "quick":
+        return payload
+    q_pad, t_pad, off_pad, lq, lt, width = payload
     dirs, gscore, best, besti, bestp = banded_dp_batch(
         q_pad[None], t_pad[None], off_pad[None],
         np.array([lq], np.int32), np.array([lt], np.int32),
         width=width, mode=mode, params_tuple=params.tuple())
-    dirs = np.asarray(dirs[0])
-    gscore = int(gscore[0])
-    best = int(best[0])
-    besti = int(besti[0])
-    bestp = int(bestp[0])
+    return _finish_pair(dirs[0], gscore[0], best[0], besti[0], bestp[0],
+                        off_pad, lq, lt, mode, want_cigar)
 
-    out = {"qstart": 0, "tstart": 0}
-    if mode == GLOBAL:
-        out["score"] = gscore
-        si, sj = lq, lt
-    else:
-        out["score"] = best
-        si = besti
-        sj = int(off_pad[besti]) + bestp if besti > 0 else bestp
-    out["qend"], out["tend"] = si, sj
-    if want_cigar:
-        ops, ei, ej = traceback(dirs, off_pad, si, sj, mode)
-        out["cigar"] = ops
-        out["qstart"], out["tstart"] = ei, ej
-    return out
+
+# cap on dirs bytes (B * Lq * W) per launch; bounds device/host memory
+_MAX_BATCH_CELLS = 1 << 26
+_MAX_BATCH = 256
+
+
+def align_pairs(items, runner=None, want_cigar: bool = True):
+    """Batched align_pair: one padded banded_dp_batch launch per shape
+    bucket instead of one launch per piece.
+
+    items: list of (q, t, mode, params, width, off) — exactly align_pair's
+    arguments.  Jobs are grouped by (mode, width, Lq-bucket, Lt-bucket,
+    params) and each group runs as a single (chunked, power-of-two-B)
+    batch; numerics are identical to per-piece align_pair because
+    banded_dp_batch is an elementwise vmap.
+
+    runner: optional override with banded_dp_batch's calling convention —
+    the hook dist/exec.py uses to run the same batches through a
+    mesh-sharded jit (stage-1 data parallelism over the "reads" axis).
+
+    Returns one align_pair-style result dict per item."""
+    results: List[Optional[dict]] = [None] * len(items)
+    groups: dict = {}
+    for i, (q, t, mode, params, width, off) in enumerate(items):
+        kind, payload = _prep_pair(q, t, mode, params, width, off)
+        if kind == "quick":
+            results[i] = payload
+            continue
+        q_pad, t_pad, off_pad, lq, lt, w = payload
+        key = (mode, w, len(q_pad), len(t_pad), params.tuple())
+        groups.setdefault(key, []).append((i, q_pad, t_pad, off_pad, lq, lt))
+
+    run = runner if runner is not None else banded_dp_batch
+    for (mode, w, lq_b, lt_b, ptuple), jobs in groups.items():
+        if runner is None:
+            # single-device path: B=1 per piece reuses ONE compiled graph
+            # per shape bucket (batching B would multiply compile keys;
+            # XLA's scan compile dominates wall-clock on small runs)
+            chunk = 1
+        else:
+            # mesh runner: large fixed chunks amortize the sharded launch
+            chunk = min(_MAX_BATCH, max(1, _MAX_BATCH_CELLS // (lq_b * w)))
+        for c0 in range(0, len(jobs), chunk):
+            part = jobs[c0:c0 + chunk]
+            # B bucketed to powers of 4 -> few distinct compile keys
+            B = 1
+            while B < len(part):
+                B *= 4
+            qb = np.full((B, lq_b), 4, dtype=np.int8)
+            tb = np.full((B, lt_b), 4, dtype=np.int8)
+            ob = np.zeros((B, lq_b + 1), dtype=np.int32)
+            ql = np.ones(B, dtype=np.int32)
+            tl = np.ones(B, dtype=np.int32)
+            for r, (_i, q_pad, t_pad, off_pad, lq, lt) in enumerate(part):
+                qb[r] = q_pad
+                tb[r] = t_pad
+                ob[r] = off_pad
+                ql[r] = lq
+                tl[r] = lt
+            dirs, gscore, best, besti, bestp = run(
+                qb, tb, ob, ql, tl, width=w, mode=mode,
+                params_tuple=ptuple)
+            dirs = np.asarray(dirs)
+            gscore = np.asarray(gscore)
+            best = np.asarray(best)
+            besti = np.asarray(besti)
+            bestp = np.asarray(bestp)
+            for r, (i, _q, _t, off_pad, lq, lt) in enumerate(part):
+                results[i] = _finish_pair(
+                    dirs[r], gscore[r], best[r], besti[r], bestp[r],
+                    off_pad, lq, lt, mode, want_cigar)
+    return results
 
 
 def cigar_stats(cigar: List[Tuple[str, int]]) -> Tuple[int, int, int, int]:

@@ -68,10 +68,12 @@ class Aligner:
     portable CPU path; both produce oracle-optimal alignments."""
 
     def __init__(self, targets: SeqDict, preset: AlignPreset,
-                 max_occ: int = 512, use_wavefront: bool = False):
+                 max_occ: int = 512, use_wavefront: bool = False,
+                 mesh=None):
         self.targets = targets
         self.preset = preset
         self.use_wavefront = use_wavefront
+        self.mesh = mesh    # jax.sharding.Mesh: shard DP batches over "reads"
         self._wave_interpret = False
         self.index = MinimizerIndex.build(targets, preset.k, preset.w,
                                           max_occ=max_occ)
@@ -318,6 +320,9 @@ def map_batch_grouped(
 
     piece_results = [dict() for _ in jobs]
     wave_buckets: Dict[tuple, list] = {}
+    cpu_items: list = []    # align_pairs inputs
+    cpu_slots: list = []    # (job_idx, tag) per input
+    runner = None
     for ji, (gi, *_x, pieces) in enumerate(jobs):
         al = groups[gi][0]
         params = al._params()
@@ -332,16 +337,22 @@ def map_batch_grouped(
                 wave_buckets.setdefault(key, []).append((ji, tag, q, t,
                                                          guide))
         else:
+            if al.mesh is not None:
+                from telr_tpu.dist.exec import sharded_dp_runner
+                runner = sharded_dp_runner(al.mesh)
             for tag, (q, t, mode, width, guide) in pieces.items():
                 if guide is not None and width is not None and len(q) \
                         and len(t):
                     off = dp.offsets_from_path(len(q), len(t), width,
                                                guide[0], guide[1])
-                    piece_results[ji][tag] = dp.align_pair(
-                        q, t, mode, params, width=width, off=off)
+                    cpu_items.append((q, t, mode, params, width, off))
                 else:
-                    piece_results[ji][tag] = dp.align_pair(
-                        q, t, mode, params, width=width)
+                    cpu_items.append((q, t, mode, params, width, None))
+                cpu_slots.append((ji, tag))
+    if cpu_items:
+        for (ji, tag), res in zip(cpu_slots,
+                                  dp.align_pairs(cpu_items, runner=runner)):
+            piece_results[ji][tag] = res
     if wave_buckets:
         from telr_tpu.kernels.pallas_wavefront import wavefront_align
         for (ptuple, mode, wave_w, interp), items in wave_buckets.items():

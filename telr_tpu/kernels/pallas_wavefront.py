@@ -44,10 +44,11 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
     in HBM."""
     if tb:
         (gout_ref, bout_ref, dirs_ref,
-         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s, stage_s, dma_sem) = refs
+         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s, hb_s, sb_s, gb_s,
+         stage_s, dma_sem) = refs
     else:
         (gout_ref, bout_ref,
-         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s) = refs
+         h1_s, h2_s, i1_s, d1_s, qw_s, tw_s, sc_s, hb_s, sb_s, gb_s) = refs
     g_id = pl.program_id(0)
     neg = jnp.int32(NEG_INF)
     W = width
@@ -63,15 +64,15 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
     h2_s[:, :] = jnp.full((8, W), neg, jnp.int32)
     i1_s[:, :] = jnp.full((8, W), neg, jnp.int32)
     d1_s[:, :] = jnp.full((8, W), neg, jnp.int32)
-    init_best = (jnp.zeros((8, 1), jnp.int32) if mode != GLOBAL
-                 else jnp.full((8, 1), neg, jnp.int32))
     sc_s[:, 0:1] = scal_ref[0, :, 2:3]          # i0
     sc_s[:, 1:2] = scal_ref[0, :, 3:4]          # j0
     sc_s[:, 2:3] = jnp.zeros((8, 1), jnp.int32)  # dprev
-    sc_s[:, 3:4] = init_best                     # best
-    sc_s[:, 4:5] = jnp.full((8, 1), neg, jnp.int32)  # gbest
-    sc_s[:, 5:6] = jnp.zeros((8, 1), jnp.int32)      # best_s
-    sc_s[:, 6:7] = jnp.zeros((8, 1), jnp.int32)      # best_p
+    # streaming per-lane accumulators: the per-step cross-lane reductions
+    # (row max / argmax / end-cell max) are replaced by elementwise updates
+    # here and ONE lane reduction after the step loop
+    hb_s[:, :] = jnp.zeros((8, W), jnp.int32)        # best per lane
+    sb_s[:, :] = jnp.zeros((8, W), jnp.int32)        # step of best per lane
+    gb_s[:, :] = jnp.full((8, W), neg, jnp.int32)    # end-cell score per lane
 
     def shiftL(x):
         r = pltpu.roll(x, W - 1, axis=1)
@@ -101,8 +102,7 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         # read once and written once per 8 steps
         st = (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :],
               qw_s[:, :], tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2],
-              sc_s[:, 2:3], sc_s[:, 3:4], sc_s[:, 4:5],
-              sc_s[:, 5:6], sc_s[:, 6:7])
+              sc_s[:, 2:3], hb_s[:, :], sb_s[:, :], gb_s[:, :])
         for kk in range(UNROLL):
             s_cur = s0 + kk + 1
             st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur)
@@ -110,7 +110,7 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
                 stage_s[kk * 8:(kk + 1) * 8, :] = dirs
         (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
          tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2], sc_s[:, 2:3],
-         sc_s[:, 3:4], sc_s[:, 4:5], sc_s[:, 5:6], sc_s[:, 6:7]) = st
+         hb_s[:, :], sb_s[:, :], gb_s[:, :]) = st
         if tb:
             cp = pltpu.make_async_copy(stage_s, dirs_ref.at[g_id, k],
                                        dma_sem)
@@ -119,8 +119,7 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         return 0
 
     def _one_step(mcol, st, s_cur):
-        (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, bestv, gbestv,
-         bsv, bpv) = st
+        (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, hbv, sbv, gbv) = st
         dbit = (mcol & 1) == 1
         d = jnp.where(dbit, 1, -1)
         q_in = (mcol >> 1) & 7
@@ -187,21 +186,15 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
 
         inner = valid & (i_vec >= 1) & (j_vec >= 1)
         if mode != GLOBAL:
+            # streaming per-lane best (strict >: earliest step per lane
+            # wins); the cross-lane reduction happens once after the loop
             masked = jnp.where(inner, H, neg)
-            row_best = jnp.max(masked, axis=1, keepdims=True)
-            take = row_best > bestv
-            bestv = jnp.where(take, row_best, bestv)
+            take = masked > hbv
+            hbv = jnp.where(take, masked, hbv)
             if tb:
-                # leftmost argmax via masked lane-min
-                is_max = masked == row_best
-                arg = jnp.min(jnp.where(is_max, lane, jnp.int32(1 << 28)),
-                              axis=1, keepdims=True)
-                bsv = jnp.where(take, jnp.int32(s_cur), bsv)
-                bpv = jnp.where(take, arg, bpv)
+                sbv = jnp.where(take, jnp.int32(s_cur), sbv)
         at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
-        gbestv = jnp.maximum(
-            gbestv,
-            jnp.max(jnp.where(at_end, H, neg), axis=1, keepdims=True))
+        gbv = jnp.where(at_end, jnp.maximum(gbv, H), gbv)
 
         if tb:
             # direction byte for traceback (choice | D-ext<<2 | I-ext<<3)
@@ -219,19 +212,30 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         else:
             dirs = None
 
-        return (H, H1, I, D, QW, TW, i0, j0, d, bestv, gbestv, bsv, bpv), \
-            dirs
+        return (H, H1, I, D, QW, TW, i0, j0, d, hbv, sbv, gbv), dirs
 
     jax.lax.fori_loop(0, n_tiles * STEP_TILE // UNROLL, block_body, 0)
-    gbest = sc_s[:, 4:5]
-    best = sc_s[:, 3:4]
+    # single post-loop cross-lane reduction of the streaming accumulators
+    gbest = jnp.max(gb_s[:, :], axis=1, keepdims=True)
+    if mode != GLOBAL:
+        hb = hb_s[:, :]
+        best = jnp.max(hb, axis=1, keepdims=True)
+        arg = jnp.min(jnp.where(hb == best, lane, jnp.int32(1 << 28)),
+                      axis=1, keepdims=True)
+        best_s = jnp.max(jnp.where(lane == arg, sb_s[:, :], 0),
+                         axis=1, keepdims=True)
+        best_p = arg
+    else:
+        best = gbest
+        best_s = jnp.zeros((8, 1), jnp.int32)
+        best_p = jnp.zeros((8, 1), jnp.int32)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     # gout lane 0 = global score; bout lane 0 = best, lane 1 = best_s,
     # lane 2 = best_p (argmax cell for EXTEND/LOCAL traceback starts)
     gout_ref[0, :, :] = jnp.broadcast_to(gbest, (8, 128))
-    bmat = jnp.broadcast_to(best if mode != GLOBAL else gbest, (8, 128))
-    bmat = jnp.where(lane128 == 1, sc_s[:, 5:6], bmat)
-    bmat = jnp.where(lane128 == 2, sc_s[:, 6:7], bmat)
+    bmat = jnp.broadcast_to(best, (8, 128))
+    bmat = jnp.where(lane128 == 1, best_s, bmat)
+    bmat = jnp.where(lane128 == 2, best_p, bmat)
     bout_ref[0, :, :] = bmat
 
 
@@ -263,6 +267,9 @@ def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
         pltpu.VMEM((8, width), jnp.int32),   # QW
         pltpu.VMEM((8, width), jnp.int32),   # TW
         pltpu.VMEM((8, 128), jnp.int32),     # scalars
+        pltpu.VMEM((8, width), jnp.int32),   # hb (streaming best)
+        pltpu.VMEM((8, width), jnp.int32),   # sb (step of best)
+        pltpu.VMEM((8, width), jnp.int32),   # gb (end-cell scores)
     ]
     if tb:
         # dirs output: (G, S_pad/8, 64, width) int8 — each block row holds
@@ -424,6 +431,82 @@ def run_wavefront_batch_tb(batch, width, mode, params: DPParams,
             np.asarray(bs).reshape(-1)[:n],
             np.asarray(bp).reshape(-1)[:n],
             dirs[:n])
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
+def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
+    """Walk all pairs' direction bytes ON DEVICE.
+
+    The dirs tensor ((G, NB, 64, W) int8) stays in device HBM — only the
+    per-step op codes ((S_max, n) int8, ~Lq+Lt bytes per pair) cross back
+    to the host, which matters enormously through a remote-device tunnel
+    (the full dirs tensor is ~W x larger).
+
+    Per iteration each pair consumes exactly one byte: an H-state D/I
+    choice immediately performs the first gap step (equivalent to the
+    host walker's state split, which re-reads the same byte).  Op codes:
+    0=M, 1=D, 2=I, 255=no-op; walk emits in reverse order."""
+    n = m_arr.shape[0]
+    g = jnp.arange(n, dtype=jnp.int32) // 8
+    r = jnp.arange(n, dtype=jnp.int32) % 8
+    dirs_flat = dirs.reshape(-1)
+    H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
+
+    def body(state, _):
+        i, j, st, stopped = state
+        active = (i > 0) & (j > 0) & ~stopped
+        s = i + j
+        m_s = jnp.take_along_axis(m_arr, s[:, None], axis=1)[:, 0]
+        p = jnp.clip((j - i - m_s) // 2, 0, W - 1)
+        blk = (s - 1) // 8
+        sb = (s - 1) % 8
+        flat = (((g * NB + blk) * 8 + sb) * 8 + r) * W + p
+        byte = jnp.take(dirs_flat, jnp.clip(flat, 0, dirs_flat.shape[0] - 1)
+                        ).astype(jnp.int32)
+        ch = byte & 3
+        dext = (byte & 4) != 0
+        iext = (byte & 8) != 0
+
+        in_h = st == H
+        stop_now = in_h & (ch == 3) if mode == LOCAL else \
+            in_h & (ch == 3)  # boundary/STOP marker ends the walk
+        do_m = in_h & (ch == 0)
+        do_d = (in_h & (ch == 1)) | (st == D)
+        do_i = (in_h & (ch == 2)) | (st == I)
+        do_d = do_d & ~stop_now & ~do_m
+        do_i = do_i & ~stop_now & ~do_m & ~do_d
+
+        op = jnp.where(do_m, 0, jnp.where(do_d, 1, jnp.where(do_i, 2, 255)))
+        op = jnp.where(active, op, 255).astype(jnp.int8)
+
+        ni = jnp.where(active & (do_m | do_i), i - 1, i)
+        nj = jnp.where(active & (do_m | do_d), j - 1, j)
+        nst = jnp.where(do_m, H,
+                        jnp.where(do_d, jnp.where(dext, D, H),
+                                  jnp.where(do_i, jnp.where(iext, I, H),
+                                            st)))
+        nst = jnp.where(active, nst, st)
+        nstopped = stopped | (active & stop_now)
+        return (ni, nj, nst, nstopped), op
+
+    init = (i0.astype(jnp.int32), j0.astype(jnp.int32),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+    (fi, fj, _, _), ops = jax.lax.scan(body, init, None, length=S_max)
+    return ops, fi, fj
+
+
+def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
+    """Reverse + run-length-encode a pair's op codes (255 = skip)."""
+    ops_rev = ops_rev[ops_rev != 255][::-1]
+    out: List[Tuple[str, int]] = []
+    if ops_rev.size == 0:
+        return out
+    sym = np.array(["M", "D", "I"])
+    change = np.nonzero(np.diff(ops_rev))[0] + 1
+    bounds = np.concatenate([[0], change, [len(ops_rev)]])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out.append((str(sym[ops_rev[a]]), int(b - a)))
+    return out
 
 
 def wavefront_align(

@@ -43,6 +43,59 @@ from telr_tpu.utils.evallog import LociEval
 logger = logging.getLogger("telr_tpu")
 
 
+def _redistribute_loci(mesh, records: List[SVRecord], reads: SeqDict
+                       ) -> List[SVRecord]:
+    """Route every (locus, read) pair through the device all-to-all to its
+    locus' owner shard and rebuild each record's read list from what the
+    owner received (SURVEY §2c locus redistribution).
+
+    Pairs are (locus_id, read_rank); source shard = crc32(read name) mod S
+    (the data-parallel read layout), owner = locus_id mod S.  The rebuilt
+    lists must reproduce the originals exactly — a routing bug surfaces as
+    a hard error, so the collective is load-bearing, not decorative."""
+    import zlib
+
+    import numpy as np
+
+    from telr_tpu.dist.mesh import READS_AXIS
+    from telr_tpu.dist.redistribute import (make_redistribute_step, owner_of,
+                                            pack_sends, unpack_received)
+    n = int(mesh.shape[READS_AXIS])
+    pairs_per_shard: List[List[tuple]] = [[] for _ in range(n)]
+    for li, rec in enumerate(records):
+        for rank, rn in enumerate(rec.reads):
+            src = zlib.crc32(rn.encode()) % n
+            pairs_per_shard[src].append((li, rank))
+    n_pairs = sum(len(x) for x in pairs_per_shard)
+    if n_pairs == 0:
+        return records
+    counts = np.zeros((n, n), dtype=np.int64)
+    for src, lst in enumerate(pairs_per_shard):
+        for li, _rank in lst:
+            counts[src, owner_of(li, n)] += 1
+    cap = 1 << (int(counts.max()) - 1).bit_length()
+    step = make_redistribute_step(mesh, cap)
+    received = np.asarray(step(pack_sends(pairs_per_shard, n, cap)))
+    rebuilt: Dict[int, List[int]] = {}
+    for dst, lst in enumerate(unpack_received(received)):
+        for li, rank in lst:
+            if owner_of(li, n) != dst:
+                raise RuntimeError(
+                    f"locus {li} landed on shard {dst}, owner is "
+                    f"{owner_of(li, n)}")
+            rebuilt.setdefault(li, []).append(rank)
+    for li, rec in enumerate(records):
+        ranks = sorted(rebuilt.get(li, []))
+        new_reads = [rec.reads[r] for r in ranks]
+        if new_reads != list(rec.reads):
+            raise RuntimeError(
+                f"locus redistribution corrupted read list for locus {li}")
+        rec.reads = new_reads
+    logger.info("locus all-to-all: %d pairs, %d loci over %d shards "
+                "(capacity %d)", n_pairs, len(records), n, cap)
+    return records
+
+
 @dataclasses.dataclass
 class PipelineResult:
     sample_name: str
@@ -66,7 +119,12 @@ def run_pipeline(
     sample_name: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ) -> PipelineResult:
+    """mesh: optional jax.sharding.Mesh with a "reads" axis.  When given,
+    stage-1 DP batches execute as sharded SPMD over the mesh, candidate
+    loci are redistributed with the device all-to-all before assembly,
+    and AF depth reductions run as psum over the "reads" axis."""
     config = config or default_config()
     if profile_dir:
         import jax
@@ -123,7 +181,8 @@ def run_pipeline(
             logger.info("alignment stage restored from checkpoint")
         else:
             aligner = Aligner(reference, config.read_preset,
-                              use_wavefront=config.use_wavefront)
+                              use_wavefront=config.use_wavefront,
+                              mesh=mesh)
             result = aligner.map_batch({s.name: s.codes for s in reads})
             alns = [a for hits in result.values() for a in hits]
             store = AlignmentStore(alns)
@@ -142,6 +201,14 @@ def run_pipeline(
                 use_wavefront=config.use_wavefront)
             records = merge_nearby_records(records, config.sv.merge_window)
             ckpt.save_records("te_filter", records)
+
+    if mesh is not None and records:
+        with timed("locus_redistribute"):
+            # device all-to-all: co-locate each locus' (locus, read) pairs
+            # on its owner shard before batched assembly (SURVEY §2c); on a
+            # single host this reorders the assembly batches into owner
+            # order, with the pairs genuinely riding lax.all_to_all
+            records = _redistribute_loci(mesh, records, reads)
 
     with timed("assembly"):
         if ckpt.has("assembly"):
@@ -166,7 +233,7 @@ def run_pipeline(
     with timed("allele_frequency"):
         te_freq = estimate_af(records, contigs, contig_te, reads, store,
                               config.read_preset, config.af, config.assembly,
-                              use_wavefront=config.use_wavefront)
+                              use_wavefront=config.use_wavefront, mesh=mesh)
 
     with timed("ref_repeatmask"):
         ref_te_bed = repeatmask_reference(
