@@ -61,6 +61,20 @@ def main():
             return np.asarray(g)
 
         useful_per_iter = B * LQ * (2 * W)
+
+        # secondary: the full-alignment path the pipeline actually uses
+        # (kernel + on-device traceback walk + host RLE) — stderr only
+        from telr_tpu.kernels.pallas_wavefront import wavefront_align
+        wavefront_align(pairs, W, dp.EXTEND, params)  # warm
+        times = []
+        for _ in range(3):
+            t1 = time.time()
+            wavefront_align(pairs, W, dp.EXTEND, params)
+            times.append(time.time() - t1)
+        med = sorted(times)[1]
+        print(f"traceback path: {med:.2f}s/iter "
+              f"({useful_per_iter / med / 1e9:.2f} Gcells/s)",
+              file=sys.stderr)
     else:
         W = 512
         q = rng.integers(0, 4, size=(B, LQ)).astype(np.int8)

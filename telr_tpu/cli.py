@@ -61,6 +61,10 @@ def get_args(argv=None):
     p.add_argument("-k", "--keep_files", action="store_true",
                    help="keep per-stage intermediate checkpoints under "
                         "<out>/intermediate_files (reference telr.py:179-180)")
+    p.add_argument("--wavefront", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="route DP through the Pallas wavefront kernel "
+                        "(auto: on when the backend is a TPU)")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="shard stage-1 DP, the locus all-to-all and depth "
                         "reductions over an N-device jax mesh (0 = off)")
@@ -82,6 +86,18 @@ def get_args(argv=None):
     return args
 
 
+def _resolve_wavefront(choice: str) -> bool:
+    if choice == "on":
+        return True
+    if choice == "off":
+        return False
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def config_from_args(args) -> TELRConfig:
     return TELRConfig(
         presets=args.presets,
@@ -98,6 +114,8 @@ def config_from_args(args) -> TELRConfig:
         different_contig_name=args.different_contig_name,
         keep_files=args.keep_files,
         threads=args.thread,
+        use_wavefront=_resolve_wavefront(getattr(args, "wavefront",
+                                                 "auto")),
     )
 
 

@@ -36,6 +36,10 @@ class AlignPreset:
                                 # splitting, not by a second gap component
     min_identity: float         # post-filter on alignment identity
     max_secondary: int          # secondary alignments kept
+    chain_prune_frac: float = 0.0  # drop chains scoring below this
+                                   # fraction of the best chain BEFORE the
+                                   # DP (0 = keep all; homology presets
+                                   # must keep all to find diverged copies)
 
 
 # Read->genome mapping, PacBio CLR error profile (~10-15% indel-heavy).

@@ -556,13 +556,16 @@ def align_pairs(items, runner=None, want_cigar: bool = True):
 
     run = runner if runner is not None else banded_dp_batch
     for (mode, w, lq_b, lt_b, ptuple), jobs in groups.items():
-        if runner is None:
-            # single-device path: B=1 per piece reuses ONE compiled graph
-            # per shape bucket (batching B would multiply compile keys;
-            # XLA's scan compile dominates wall-clock on small runs)
+        if runner is None and len(jobs) < 16:
+            # small group on the single-device path: B=1 per piece reuses
+            # ONE compiled graph per shape bucket (batching B would
+            # multiply compile keys; XLA's scan compile dominates
+            # wall-clock on small runs)
             chunk = 1
         else:
-            # mesh runner: large fixed chunks amortize the sharded launch
+            # big group or mesh runner: large chunks amortize per-launch
+            # dispatch + transfer overhead (the dominant cost at genome
+            # scale: thousands of per-piece launches otherwise)
             chunk = min(_MAX_BATCH, max(1, _MAX_BATCH_CELLS // (lq_b * w)))
         for c0 in range(0, len(jobs), chunk):
             part = jobs[c0:c0 + chunk]

@@ -118,6 +118,13 @@ class Aligner:
         if not chains:
             return []
         chains.sort(key=lambda x: -x[0].score)
+        if pre.chain_prune_frac > 0 and len(chains) > 1:
+            # prune weak chains BEFORE the DP (minimap2-style): in a
+            # repeat-dense genome most secondary chains lose in
+            # postprocessing anyway — skipping their extensions is the
+            # single biggest mapping-throughput lever
+            floor = pre.chain_prune_frac * chains[0][0].score
+            chains = [c for c in chains if c[0].score >= floor]
 
         picked: List[Tuple[Chain, int, int, bool]] = []
         marked = []

@@ -445,7 +445,7 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     Per iteration each pair consumes exactly one byte: an H-state D/I
     choice immediately performs the first gap step (equivalent to the
     host walker's state split, which re-reads the same byte).  Op codes:
-    0=M, 1=D, 2=I, 255=no-op; walk emits in reverse order."""
+    0=M, 1=D, 2=I, 3=no-op; walk emits in reverse order."""
     n = m_arr.shape[0]
     g = jnp.arange(n, dtype=jnp.int32) // 8
     r = jnp.arange(n, dtype=jnp.int32) % 8
@@ -476,8 +476,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         do_d = do_d & ~stop_now & ~do_m
         do_i = do_i & ~stop_now & ~do_m & ~do_d
 
-        op = jnp.where(do_m, 0, jnp.where(do_d, 1, jnp.where(do_i, 2, 255)))
-        op = jnp.where(active, op, 255).astype(jnp.int8)
+        op = jnp.where(do_m, 0, jnp.where(do_d, 1, jnp.where(do_i, 2, 3)))
+        op = jnp.where(active, op, 3).astype(jnp.int8)
 
         ni = jnp.where(active & (do_m | do_i), i - 1, i)
         nj = jnp.where(active & (do_m | do_d), j - 1, j)
@@ -496,8 +496,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
 
 
 def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
-    """Reverse + run-length-encode a pair's op codes (255 = skip)."""
-    ops_rev = ops_rev[ops_rev != 255][::-1]
+    """Reverse + run-length-encode a pair's op codes (3 = skip)."""
+    ops_rev = ops_rev[ops_rev != 3][::-1]
     out: List[Tuple[str, int]] = []
     if ops_rev.size == 0:
         return out
@@ -509,26 +509,10 @@ def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
     return out
 
 
-def wavefront_align(
-    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
-    width: int,
-    mode: int,
-    params: DPParams,
-    guides: Optional[Sequence] = None,
-    interpret: bool = False,
-):
-    """Full alignment through the wavefront kernel: scores + CIGARs.
-
-    Returns a list of dicts like dp.align_pair: score, cigar, qstart,
-    qend, tstart, tend.
-    """
-    from telr_tpu.kernels.wavefront import wavefront_traceback
-    batch = prepare_wavefront_batch(pairs, width, guides)
-    scheds = batch[5]
-    g, b, bs, bp, dirs = run_wavefront_batch_tb(batch, width, mode, params,
-                                                interpret=interpret)
-    out = []
-    for idx, (q, t) in enumerate(pairs):
+def _start_cells(pairs, scheds, mode, g, b, bs, bp):
+    """Per-pair traceback start cell (si, sj) + score."""
+    starts = []
+    for idx in range(len(pairs)):
         sched = scheds[idx]
         if mode == GLOBAL:
             si, sj = sched.lq, sched.lt
@@ -541,7 +525,111 @@ def wavefront_align(
             si = (s_star - o) // 2
             sj = (s_star + o) // 2
             score = int(b[idx])
-        cigar, ei, ej = wavefront_traceback(dirs[idx], sched, si, sj, mode)
+        starts.append((si, sj, score))
+    return starts
+
+
+def wavefront_align(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    width: int,
+    mode: int,
+    params: DPParams,
+    guides: Optional[Sequence] = None,
+    interpret: bool = False,
+    device_tb: Optional[bool] = None,
+):
+    """Full alignment through the wavefront kernel: scores + CIGARs.
+
+    Returns a list of dicts like dp.align_pair: score, cigar, qstart,
+    qend, tstart, tend.
+
+    device_tb: walk the direction bytes on device (default on a non-CPU
+    backend) — the dirs tensor never leaves HBM, only op codes transfer,
+    which is the difference between ~0.2s and ~40s per batch through a
+    remote-device tunnel."""
+    import jax as _jax
+    from telr_tpu.kernels.wavefront import wavefront_traceback
+    if device_tb is None:
+        device_tb = (not interpret
+                     and _jax.devices()[0].platform != "cpu")
+    # memory-bounded chunking: the dirs tensor costs ~S_pad x W bytes per
+    # pair; bound resident bytes so genome-scale batches can't blow HBM
+    if len(pairs) > 8:
+        s_max = max(len(q) + len(t) for q, t in pairs)
+        s_pad = STEP_TILE
+        while s_pad < s_max:
+            s_pad *= 2
+        per_pair = s_pad * width
+        budget = 2 << 30
+        chunk = max(8, (budget // max(per_pair, 1)) // 8 * 8)
+        if len(pairs) > chunk:
+            out = []
+            for c0 in range(0, len(pairs), chunk):
+                out.extend(wavefront_align(
+                    pairs[c0:c0 + chunk], width, mode, params,
+                    guides=guides[c0:c0 + chunk] if guides is not None
+                    else None,
+                    interpret=interpret, device_tb=device_tb))
+            return out
+    batch = prepare_wavefront_batch(pairs, width, guides)
+    meta, init, scal, n_tiles, n, scheds = batch
+
+    if not device_tb:
+        g, b, bs, bp, dirs = run_wavefront_batch_tb(
+            batch, width, mode, params, interpret=interpret)
+        out = []
+        for idx, (si, sj, score) in enumerate(
+                _start_cells(pairs, scheds, mode, g, b, bs, bp)):
+            cigar, ei, ej = wavefront_traceback(dirs[idx], scheds[idx],
+                                                si, sj, mode)
+            out.append({"score": score, "cigar": cigar, "qstart": ei,
+                        "tstart": ej, "qend": si, "tend": sj})
+        return out
+
+    gout, bout, bs_d, bp_d, dirs = _call_kernel(
+        meta, init, scal, width=width, mode=mode,
+        params_tuple=params.tuple(), n_tiles=n_tiles,
+        interpret=interpret, tb=True)
+    g = np.asarray(gout).reshape(-1)[:n]
+    b = np.asarray(bout).reshape(-1)[:n]
+    bs = np.asarray(bs_d).reshape(-1)[:n]
+    bp = np.asarray(bp_d).reshape(-1)[:n]
+    starts = _start_cells(pairs, scheds, mode, g, b, bs, bp)
+    S_pad = n_tiles * STEP_TILE
+    m_arr = np.zeros((n, S_pad + 1), dtype=np.int32)
+    si_arr = np.zeros(n, dtype=np.int32)
+    sj_arr = np.zeros(n, dtype=np.int32)
+    for idx in range(n):
+        sched = scheds[idx]
+        m = np.concatenate(
+            [[sched.m0],
+             sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
+        m_arr[idx, :len(m)] = m
+        m_arr[idx, len(m):] = m[-1]
+        si_arr[idx], sj_arr[idx] = starts[idx][0], starts[idx][1]
+    NB = S_pad // 8
+    ops, fi, fj = _device_traceback(dirs, m_arr, si_arr, sj_arr,
+                                    mode=mode, S_max=S_pad, NB=NB,
+                                    W=width)
+    ops = np.asarray(ops)          # (S_max, n)
+    fi = np.asarray(fi)
+    fj = np.asarray(fj)
+    out = []
+    for idx, (si, sj, score) in enumerate(starts):
+        cigar = _rle(ops[:, idx])
+        if mode != LOCAL:
+            lead: List[Tuple[str, int]] = []
+            if fi[idx] > 0:
+                lead.append(("I", int(fi[idx])))
+            if fj[idx] > 0:
+                lead.append(("D", int(fj[idx])))
+            if lead:
+                if cigar and lead and lead[-1][0] == cigar[0][0]:
+                    cigar[0] = (cigar[0][0], cigar[0][1] + lead.pop()[1])
+                cigar = lead + cigar
+            ei = ej = 0
+        else:
+            ei, ej = int(fi[idx]), int(fj[idx])
         out.append({"score": score, "cigar": cigar, "qstart": ei,
                     "tstart": ej, "qend": si, "tend": sj})
     return out

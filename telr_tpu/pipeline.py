@@ -180,7 +180,13 @@ def run_pipeline(
             store = ckpt.load_alignments("alignment")
             logger.info("alignment stage restored from checkpoint")
         else:
-            aligner = Aligner(reference, config.read_preset,
+            # stage-1 genome mapping prunes weak secondary chains before
+            # the DP (minimap2-style) — the big mapping-throughput lever
+            # on repeat-dense genomes; per-locus realignments keep every
+            # chain (the AF depth windows count all local reads)
+            stage1_preset = dataclasses.replace(config.read_preset,
+                                                chain_prune_frac=0.5)
+            aligner = Aligner(reference, stage1_preset,
                               use_wavefront=config.use_wavefront,
                               mesh=mesh)
             result = aligner.map_batch({s.name: s.codes for s in reads})

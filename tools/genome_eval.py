@@ -1,0 +1,294 @@
+"""Genome-scale evaluation: simulated D. melanogaster-like chromosome.
+
+Builds a repeat-dense genome (planted reference TE copies at varying
+divergence + tandem repeats), plants non-reference TE insertions (hom and
+het, with TSDs), simulates noisy long reads at a target coverage, runs the
+FULL pipeline, and scores calls against the planted truth:
+
+  F1 over insertions (call within +-100bp of truth, family must match),
+  reads/s (stage-1), loci/s (assembly..liftover), stage wall-clock table.
+
+This is the BASELINE.md ">=0.95 F1 on D. melanogaster" stand-in that can
+run hermetically (no external data in the container) — the repeat
+structure, error profile (~10% indel-heavy PacBio CLR) and coverage match
+the reference's target regime (reference README.md:22,38).
+
+Usage: python tools/genome_eval.py [--size 5000000] [--coverage 30]
+           [--n-ins 30] [--seed 0] [--out GENOME_EVAL.json] [--wavefront]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_te_library(rng) -> dict:
+    """TE consensus families, dmel-like lengths."""
+    return {
+        "jockey": rng.integers(0, 4, 5000).astype(np.int8),
+        "copia": rng.integers(0, 4, 5100).astype(np.int8),
+        "roo": rng.integers(0, 4, 9000).astype(np.int8),
+        "P-element": rng.integers(0, 4, 2900).astype(np.int8),
+        "INE-1": rng.integers(0, 4, 600).astype(np.int8),
+    }
+
+
+def _diverge(codes, rate, rng):
+    out = []
+    i = 0
+    while i < len(codes):
+        if rng.random() < rate:
+            r = rng.random()
+            if r < 0.8:
+                out.append((codes[i] + 1 + rng.integers(0, 3)) % 4)
+                i += 1
+            elif r < 0.9:
+                i += 1 + int(rng.integers(0, 3))
+            else:
+                out.extend(rng.integers(0, 4, 1 + int(rng.integers(0, 3))))
+        else:
+            out.append(codes[i])
+            i += 1
+    return np.array(out, dtype=np.int8)
+
+
+def make_genome(size, library, rng, repeat_density=0.15):
+    """Random background + planted (diverged, often truncated) ref TE
+    copies up to ~repeat_density of the sequence + tandem patches."""
+    genome = rng.integers(0, 4, size).astype(np.int8)
+    placed = 0
+    target = int(size * repeat_density)
+    fams = list(library)
+    while placed < target:
+        fam = fams[int(rng.integers(0, len(fams)))]
+        te = library[fam]
+        div = float(rng.uniform(0.02, 0.25))
+        copy = _diverge(te, div, rng)
+        if rng.random() < 0.5:  # truncated copy
+            cut = int(rng.integers(len(copy) // 4, len(copy)))
+            copy = copy[-cut:] if rng.random() < 0.5 else copy[:cut]
+        if rng.random() < 0.5:  # minus strand
+            copy = (3 - copy)[::-1].copy()
+        pos = int(rng.integers(0, size - len(copy)))
+        genome[pos:pos + len(copy)] = copy
+        placed += len(copy)
+    # tandem/low-complexity patches
+    for _ in range(max(1, size // 200_000)):
+        unit = rng.integers(0, 4, int(rng.integers(2, 12))).astype(np.int8)
+        n = int(rng.integers(20, 200))
+        patch = np.tile(unit, n)
+        pos = int(rng.integers(0, size - len(patch)))
+        genome[pos:pos + len(patch)] = patch
+    return genome
+
+
+def plant_insertions(genome, library, n_ins, rng):
+    """Returns (alt_genome, truth list).  Insertions are near-intact TE
+    copies (0-5% divergence) with 4-12bp TSDs; ~40% heterozygous."""
+    size = len(genome)
+    fams = list(library)
+    sites = np.sort(rng.choice(
+        np.arange(50_000, size - 50_000), n_ins, replace=False))
+    # enforce spacing
+    keep = [sites[0]]
+    for s in sites[1:]:
+        if s - keep[-1] > 20_000:
+            keep.append(s)
+    truth = []
+    for pos in keep:
+        fam = fams[int(rng.integers(0, len(fams)))]
+        te = _diverge(library[fam], float(rng.uniform(0.0, 0.05)), rng)
+        if rng.random() < 0.5:
+            te = (3 - te)[::-1].copy()
+            strand = "-"
+        else:
+            strand = "+"
+        tsd = int(rng.integers(4, 13))
+        zyg = "het" if rng.random() < 0.4 else "hom"
+        truth.append({"pos": int(pos), "family": fam, "strand": strand,
+                      "tsd": tsd, "len": int(len(te)), "zygosity": zyg,
+                      "te": te})
+    return truth
+
+
+def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
+                   err=0.10):
+    """Reads drawn from a diploid sample: haplotype A carries every
+    insertion, haplotype B only the homozygous ones — so "hom" sites are
+    on both haplotypes and "het" sites on one.  PacBio-CLR-like errors
+    (~10%: 40% ins / 35% del / 25% sub)."""
+    def build_hap(subset):
+        cuts, segs = 0, []
+        for t in subset:
+            segs.append(genome[cuts:t["pos"]])
+            segs.append(np.concatenate(
+                [t["te"],
+                 genome[t["pos"] - t["tsd"]:t["pos"]]]))  # TE + TSD dup
+            cuts = t["pos"]
+        segs.append(genome[cuts:])
+        return np.concatenate(segs)
+
+    hap_a = build_hap(truth)
+    hap_b = build_hap([t for t in truth if t["zygosity"] == "hom"])
+    haplos = [hap_a, hap_b]
+
+    total_bases = int(coverage) * len(genome)
+    reads = []
+    made = 0
+    k = 0
+    while made < total_bases:
+        L = int(np.clip(rng.normal(read_len_mean, read_len_mean // 3),
+                        2000, 20000))
+        # het sites exist only on alt; sample haplotypes 50/50
+        hap = haplos[int(rng.integers(0, 2))]
+        if L >= len(hap):
+            L = len(hap) // 2
+        start = int(rng.integers(0, len(hap) - L))
+        codes = hap[start:start + L].copy()
+        # error profile
+        nerr = rng.random(L) < err
+        idx = np.nonzero(nerr)[0]
+        out = []
+        prev = 0
+        for i in idx:
+            out.append(codes[prev:i])
+            r = rng.random()
+            if r < 0.25:  # sub
+                out.append(np.array([(codes[i] + 1 + rng.integers(0, 3))
+                                     % 4], dtype=np.int8))
+                prev = i + 1
+            elif r < 0.65:  # ins
+                out.append(codes[i:i + 1])
+                out.append(rng.integers(
+                    0, 4, 1 + int(rng.integers(0, 2))).astype(np.int8))
+                prev = i + 1
+            else:  # del
+                prev = i + 1 + int(rng.integers(0, 2))
+        out.append(codes[prev:])
+        codes = np.concatenate(out).astype(np.int8)
+        if rng.random() < 0.5:
+            codes = (3 - codes)[::-1].copy()
+        reads.append((f"read{k}", codes))
+        made += len(codes)
+        k += 1
+    return reads
+
+
+def _hom_truth_and_het(truth):
+    return truth
+
+
+def score_calls(final_report, truth, window=100):
+    tp, used = 0, set()
+    fp_calls = []
+    for call in final_report:
+        hit = None
+        for ti, t in enumerate(truth):
+            if ti in used:
+                continue
+            if abs(call["start"] - t["pos"]) <= window and \
+                    t["family"] in str(call["family"]).split("|"):
+                hit = ti
+                break
+        if hit is None:
+            fp_calls.append((call["chrom"], call["start"], call["family"]))
+        else:
+            used.add(hit)
+            tp += 1
+    fn = len(truth) - tp
+    fp = len(fp_calls)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": round(prec, 4),
+            "recall": round(rec, 4), "f1": round(f1, 4),
+            "fp_calls": fp_calls[:20]}
+
+
+def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
+             use_wavefront=False, out_path="GENOME_EVAL.json",
+             workdir=None):
+    from telr_tpu.config import TELRConfig, SVConfig
+    from telr_tpu.io.fasta import write_fasta
+    from telr_tpu.io.seqs import SeqDict, Sequence
+    from telr_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    library = make_te_library(rng)
+    genome = make_genome(size, library, rng)
+    truth = plant_insertions(genome, library, n_ins, rng)
+    reads = simulate_reads(genome, truth, coverage, rng)
+    sim_s = time.time() - t0
+    print(f"simulated: genome {size / 1e6:.1f}Mb, {len(truth)} insertions, "
+          f"{len(reads)} reads ({sum(len(c) for _, c in reads) / 1e6:.0f}Mb)"
+          f" in {sim_s:.0f}s", flush=True)
+
+    import tempfile
+    workdir = workdir or tempfile.mkdtemp(prefix="telr_eval")
+    os.makedirs(workdir, exist_ok=True)
+    ref_fa = os.path.join(workdir, "ref.fa")
+    reads_fa = os.path.join(workdir, "reads.fa")
+    lib_fa = os.path.join(workdir, "lib.fa")
+    write_fasta(SeqDict([Sequence("chr2L", genome)]), ref_fa)
+    write_fasta(SeqDict([Sequence(n, c) for n, c in reads]), reads_fa)
+    write_fasta(SeqDict([Sequence(n, c) for n, c in library.items()]),
+                lib_fa)
+
+    cfg = TELRConfig(sv=SVConfig(min_support=max(3, coverage // 8)),
+                     use_wavefront=use_wavefront)
+    t0 = time.time()
+    res = run_pipeline(reads_fa, ref_fa, lib_fa,
+                       os.path.join(workdir, "out"), cfg)
+    pipe_s = time.time() - t0
+
+    score = score_calls(res.final_report, truth)
+    n_bases = sum(len(c) for _, c in reads)
+    align_s = res.stage_seconds.get("alignment", float("nan"))
+    locus_stages = sum(res.stage_seconds.get(k, 0.0) for k in
+                      ("assembly", "annotate_contig", "allele_frequency",
+                       "liftover"))
+    report = {
+        "workload": {"genome_mb": size / 1e6, "coverage": coverage,
+                     "n_reads": len(reads), "read_mb": n_bases / 1e6,
+                     "n_truth": len(truth), "seed": seed,
+                     "use_wavefront": use_wavefront},
+        "score": score,
+        "throughput": {
+            "reads_per_s": round(len(reads) / align_s, 2),
+            "read_mb_per_s": round(n_bases / 1e6 / align_s, 3),
+            "loci_per_s": round(len(res.records) / locus_stages, 3)
+            if locus_stages else None,
+        },
+        "stage_seconds": {k: round(v, 2)
+                          for k, v in res.stage_seconds.items()},
+        "wall_s": round(pipe_s, 1),
+        "n_calls": len(res.final_report),
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["score"]))
+    print(json.dumps(report["throughput"]))
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=5_000_000)
+    ap.add_argument("--coverage", type=int, default=30)
+    ap.add_argument("--n-ins", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="GENOME_EVAL.json")
+    ap.add_argument("--wavefront", action="store_true")
+    ap.add_argument("--workdir", default=None)
+    a = ap.parse_args()
+    run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
+             a.workdir)
