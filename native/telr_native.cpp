@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <cmath>
 
 extern "C" {
 
@@ -192,6 +193,54 @@ int32_t telr_wave_schedule(const int8_t* q, int64_t lq,
         m_prev = m;
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// anchor-chaining DP (see telr_tpu/kernels/chain.py — same objective)
+// ---------------------------------------------------------------------------
+
+// Anchors must be pre-sorted by (tpos, qpos).  Writes per-anchor best
+// score f and parent index (-1 = chain start).  O(n * lookback).
+void telr_chain_dp(const int64_t* q, const int64_t* t, int64_t n,
+                   int32_t k, int64_t max_gap, int64_t max_target_skew,
+                   int32_t lookback, double gap_cap,
+                   double* f, int64_t* parent) {
+    for (int64_t i = 0; i < n; i++) {
+        f[i] = (double)k;
+        parent[i] = -1;
+    }
+    for (int64_t i = 1; i < n; i++) {
+        int64_t j0 = i - lookback;
+        if (j0 < 0) j0 = 0;
+        double best = -1e300;
+        int64_t best_j = -1;
+        for (int64_t j = j0; j < i; j++) {
+            int64_t dq = q[i] - q[j];
+            int64_t dt = t[i] - t[j];
+            if (dq < 1 || dt < 0 || dq > max_gap || dt > max_gap ||
+                (dt - dq) > max_target_skew)
+                continue;
+            int64_t a = dq < dt ? dq : dt;
+            if (a > k) a = k;
+            int64_t dd = dq - dt;
+            if (dd < 0) dd = -dd;
+            double beta = 0.0;
+            if (dd > 0) {
+                beta = 0.01 * k * (double)dd +
+                       0.5 * std::log2((double)dd + 1.0);
+                if (beta > gap_cap) beta = gap_cap;
+            }
+            double cand = f[j] + (double)a - beta;
+            if (cand > best) {
+                best = cand;
+                best_j = j;
+            }
+        }
+        if (best_j >= 0 && best > f[i]) {
+            f[i] = best;
+            parent[i] = best_j;
+        }
+    }
 }
 
 }  // extern "C"

@@ -51,6 +51,15 @@ def load() -> Optional[ctypes.CDLL]:
         i64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
     lib.telr_wave_schedule.restype = ctypes.c_int32
+    try:
+        lib.telr_chain_dp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32, i64,
+            i64, ctypes.c_int32, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.telr_chain_dp.restype = None
+    except AttributeError:
+        # older .so without the chaining DP; callers fall back to numpy
+        pass
     _LIB = lib
     return _LIB
 

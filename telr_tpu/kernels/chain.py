@@ -60,27 +60,45 @@ def chain_anchors(
     q = qpos[order].astype(np.int64)
     t = tpos[order].astype(np.int64)
 
-    f = np.full(n, float(k))
-    parent = np.full(n, -1, dtype=np.int64)
-
-    for i in range(1, n):
-        j0 = max(0, i - lookback)
-        dq = q[i] - q[j0:i]
-        dt = t[i] - t[j0:i]
-        ok = (dq >= 1) & (dt >= 0) & (dq <= max_gap) & (dt <= max_gap) \
-            & ((dt - dq) <= max_target_skew)
-        if not ok.any():
-            continue
-        alpha = np.minimum(np.minimum(dq, dt), k).astype(np.float64)
-        dd = np.abs(dq - dt).astype(np.float64)
-        beta = np.where(dd > 0,
-                        np.minimum(0.01 * k * dd + 0.5 * np.log2(dd + 1),
-                                   gap_cap), 0.0)
-        cand = np.where(ok, f[j0:i] + alpha - beta, -np.inf)
-        best = int(np.argmax(cand))
-        if cand[best] > f[i]:
-            f[i] = cand[best]
-            parent[i] = j0 + best
+    nat = None
+    try:
+        from telr_tpu.io import native
+        nat = native.load()
+        if nat is not None and not hasattr(nat, "telr_chain_dp"):
+            nat = None
+    except ImportError:
+        nat = None
+    if nat is not None:
+        qa = np.ascontiguousarray(q)
+        ta = np.ascontiguousarray(t)
+        f = np.empty(n, dtype=np.float64)
+        parent = np.empty(n, dtype=np.int64)
+        nat.telr_chain_dp(qa.ctypes.data, ta.ctypes.data, n, k,
+                          max_gap, max_target_skew, lookback,
+                          float(gap_cap), f.ctypes.data,
+                          parent.ctypes.data)
+    else:
+        f = np.full(n, float(k))
+        parent = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            j0 = max(0, i - lookback)
+            dq = q[i] - q[j0:i]
+            dt = t[i] - t[j0:i]
+            ok = (dq >= 1) & (dt >= 0) & (dq <= max_gap) \
+                & (dt <= max_gap) & ((dt - dq) <= max_target_skew)
+            if not ok.any():
+                continue
+            alpha = np.minimum(np.minimum(dq, dt), k).astype(np.float64)
+            dd = np.abs(dq - dt).astype(np.float64)
+            beta = np.where(
+                dd > 0,
+                np.minimum(0.01 * k * dd + 0.5 * np.log2(dd + 1),
+                           gap_cap), 0.0)
+            cand = np.where(ok, f[j0:i] + alpha - beta, -np.inf)
+            best = int(np.argmax(cand))
+            if cand[best] > f[i]:
+                f[i] = cand[best]
+                parent[i] = j0 + best
 
     # extract chains greedily by score, skipping used anchors
     used = np.zeros(n, dtype=bool)

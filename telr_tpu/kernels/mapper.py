@@ -119,12 +119,26 @@ class Aligner:
             return []
         chains.sort(key=lambda x: -x[0].score)
         if pre.chain_prune_frac > 0 and len(chains) > 1:
-            # prune weak chains BEFORE the DP (minimap2-style): in a
-            # repeat-dense genome most secondary chains lose in
-            # postprocessing anyway — skipping their extensions is the
-            # single biggest mapping-throughput lever
+            # prune weak REDUNDANT chains BEFORE the DP (minimap2-style):
+            # drop a chain only when it scores below the fraction floor
+            # AND its query span mostly overlaps a kept, better chain —
+            # query-disjoint chains are split-read segments (the flanks
+            # of a long TE insertion) and must survive regardless of
+            # score, or long insertions lose their SV evidence
             floor = pre.chain_prune_frac * chains[0][0].score
-            chains = [c for c in chains if c[0].score >= floor]
+            kept_spans: List[Tuple[int, int]] = []
+            pruned = []
+            for c, s_id, st in chains:
+                qs, qe = c.q_span
+                if st == 1:
+                    qs, qe = qlen - qe, qlen - qs
+                redundant = any(
+                    min(qe, pe) - max(qs, ps) > 0.5 * (qe - qs)
+                    for ps, pe in kept_spans)
+                if c.score >= floor or not redundant:
+                    pruned.append((c, s_id, st))
+                    kept_spans.append((qs, qe))
+            chains = pruned
 
         picked: List[Tuple[Chain, int, int, bool]] = []
         marked = []
@@ -192,17 +206,22 @@ class Aligner:
         qlen = len(codes)
         (qc, qs, qe, ts, te, tname, tlen) = geom
         res = results.get("region")
-        if res is None or res["score"] <= dp.NEG_INF // 2:
+        if res is None or res["score"] <= dp.NEG_INF // 2 or \
+                res.get("failed"):
             return None
         cigar = list(res["cigar"])
         score = res["score"]
         r = results.get("rext")
+        if r is not None and r.get("failed"):
+            return None
         if r is not None:
             cigar = _merge_cigar(cigar, r["cigar"])
             qe += r["qend"]
             te += r["tend"]
             score += r["score"]
         r = results.get("lext")
+        if r is not None and r.get("failed"):
+            return None
         if r is not None:
             left_cigar = list(reversed(r["cigar"]))
             cigar = _merge_cigar(left_cigar, cigar)
@@ -210,10 +229,14 @@ class Aligner:
             ts -= r["tend"]
             score += r["score"]
 
-        matches = dp.count_matches(qc, self._tcodes[tname], cigar, qs, ts)
         nm, ni, nd, blk = dp.cigar_stats(cigar)
         if blk == 0:
             return None
+        # geometry check: a corrupted walk (band escape on a degenerate
+        # pair) yields a cigar inconsistent with its span — drop it
+        if nm + ni != qe - qs or nm + nd != te - ts:
+            return None
+        matches = dp.count_matches(qc, self._tcodes[tname], cigar, qs, ts)
         if strand:
             oqs, oqe = qlen - qe, qlen - qs
         else:

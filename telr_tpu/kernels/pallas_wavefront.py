@@ -453,11 +453,17 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
 
     def body(state, _):
-        i, j, st, stopped = state
+        i, j, st, stopped, bad = state
         active = (i > 0) & (j > 0) & ~stopped
         s = i + j
         m_s = jnp.take_along_axis(m_arr, s[:, None], axis=1)[:, 0]
-        p = jnp.clip((j - i - m_s) // 2, 0, W - 1)
+        off = j - i - m_s
+        p_raw = off // 2
+        # the host walker RAISES when a walk leaves the band; on device we
+        # flag the pair instead and the caller drops its alignment
+        bad = bad | (active & ((off & 1 != 0) | (p_raw < 0)
+                               | (p_raw >= W)))
+        p = jnp.clip(p_raw, 0, W - 1)
         blk = (s - 1) // 8
         sb = (s - 1) % 8
         flat = (((g * NB + blk) * 8 + sb) * 8 + r) * W + p
@@ -487,12 +493,13 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
                                             st)))
         nst = jnp.where(active, nst, st)
         nstopped = stopped | (active & stop_now)
-        return (ni, nj, nst, nstopped), op
+        return (ni, nj, nst, nstopped, bad), op
 
     init = (i0.astype(jnp.int32), j0.astype(jnp.int32),
-            jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
-    (fi, fj, _, _), ops = jax.lax.scan(body, init, None, length=S_max)
-    return ops, fi, fj
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
+            jnp.zeros(n, bool))
+    (fi, fj, _, _, bad), ops = jax.lax.scan(body, init, None, length=S_max)
+    return ops, fi, fj, bad
 
 
 def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
@@ -560,8 +567,14 @@ def wavefront_align(
         while s_pad < s_max:
             s_pad *= 2
         per_pair = s_pad * width
-        budget = 2 << 30
-        chunk = max(8, (budget // max(per_pair, 1)) // 8 * 8)
+        # <= 1GB so flat indices into dirs stay within int32 for the
+        # on-device traceback gathers
+        budget = 1 << 30
+        groups = max(1, budget // max(per_pair * 8, 1))
+        g_pow2 = 1
+        while g_pow2 * 2 <= groups:
+            g_pow2 *= 2
+        chunk = g_pow2 * 8  # power-of-two group count: no pad waste
         if len(pairs) > chunk:
             out = []
             for c0 in range(0, len(pairs), chunk):
@@ -580,8 +593,14 @@ def wavefront_align(
         out = []
         for idx, (si, sj, score) in enumerate(
                 _start_cells(pairs, scheds, mode, g, b, bs, bp)):
-            cigar, ei, ej = wavefront_traceback(dirs[idx], scheds[idx],
-                                                si, sj, mode)
+            try:
+                cigar, ei, ej = wavefront_traceback(dirs[idx], scheds[idx],
+                                                    si, sj, mode)
+            except RuntimeError:
+                out.append({"score": NEG_INF, "cigar": [], "qstart": 0,
+                            "tstart": 0, "qend": 0, "tend": 0,
+                            "failed": True})
+                continue
             out.append({"score": score, "cigar": cigar, "qstart": ei,
                         "tstart": ej, "qend": si, "tend": sj})
         return out
@@ -608,14 +627,20 @@ def wavefront_align(
         m_arr[idx, len(m):] = m[-1]
         si_arr[idx], sj_arr[idx] = starts[idx][0], starts[idx][1]
     NB = S_pad // 8
-    ops, fi, fj = _device_traceback(dirs, m_arr, si_arr, sj_arr,
-                                    mode=mode, S_max=S_pad, NB=NB,
-                                    W=width)
+    ops, fi, fj, bad = _device_traceback(dirs, m_arr, si_arr, sj_arr,
+                                         mode=mode, S_max=S_pad, NB=NB,
+                                         W=width)
     ops = np.asarray(ops)          # (S_max, n)
     fi = np.asarray(fi)
     fj = np.asarray(fj)
+    bad = np.asarray(bad)
     out = []
     for idx, (si, sj, score) in enumerate(starts):
+        if bad[idx]:
+            out.append({"score": NEG_INF, "cigar": [], "qstart": 0,
+                        "tstart": 0, "qend": 0, "tend": 0,
+                        "failed": True})
+            continue
         cigar = _rle(ops[:, idx])
         if mode != LOCAL:
             lead: List[Tuple[str, int]] = []

@@ -149,9 +149,19 @@ def run_pipeline(
             def __enter__(self):
                 self.t0 = time.time()
                 logger.info("stage %s ...", name)
+                if profile_dir:
+                    import jax
+                    # stage span marker in the profiler trace, so
+                    # tools/profile_report.py can attribute device time
+                    # per stage
+                    self._ann = jax.profiler.TraceAnnotation(
+                        f"telr_stage:{name}")
+                    self._ann.__enter__()
                 return self
 
             def __exit__(self, *a):
+                if profile_dir:
+                    self._ann.__exit__(None, None, None)
                 stage_seconds[name] = time.time() - self.t0
                 logger.info("stage %s finished in %.2fs", name,
                             stage_seconds[name])
@@ -194,6 +204,15 @@ def run_pipeline(
             store = AlignmentStore(alns)
             ckpt.save_alignments("alignment", store)
 
+    if "alignment" in stage_seconds and stage_seconds["alignment"] > 0:
+        n_bases = sum(len(s) for s in reads)
+        logger.info(
+            "alignment throughput: %.2f reads/s, %.3f Mbases/s "
+            "(%d reads, %d alignments)",
+            len(reads) / stage_seconds["alignment"],
+            n_bases / 1e6 / stage_seconds["alignment"],
+            len(reads), len(store))
+
     with timed("sv_detection"):
         records = detect_insertions(store, reads, config.sv, sample_name)
 
@@ -227,6 +246,9 @@ def run_pipeline(
                 loci_eval, use_wavefront=config.use_wavefront)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})
+    if records and stage_seconds.get("assembly", 0) > 0:
+        logger.info("assembly throughput: %.3f loci/s (%d loci)",
+                    len(records) / stage_seconds["assembly"], len(records))
 
     with timed("annotate_contig"):
         contig_te, te_seqs = annotate_contigs(

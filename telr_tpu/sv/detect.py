@@ -106,30 +106,37 @@ def extract_signatures(store: AlignmentStore, reads: SeqDict,
                 elif op == "D":
                     t_cursor += ln
 
-        # split-pair signatures: same read, same target+strand, adjacent on
-        # reference, with unaligned query middle (the insertion)
+        # split-pair signatures: same read, same target+strand, adjacent
+        # on the reference, with an unaligned (or elsewhere-mapped) query
+        # middle — the insertion.  ALL ordered pairs are considered, not
+        # just consecutive ones: the TE body of a long insertion often
+        # maps to a reference TE copy at another locus, so the flank pair
+        # is non-adjacent in query order (x..TE-segment..y).
         prim = sorted([a for a in alns if a.primary],
                       key=lambda a: a.qstart)
-        for x, y in zip(prim, prim[1:]):
-            if x.tname != y.tname or x.strand != y.strand:
-                continue
-            q_gap = y.qstart - x.qend
-            if x.strand == "-":
-                # query coords are strand-independent; target adjacency order
-                # flips for '-' strand
-                t_gap = x.tstart - y.tend
-                t_bp = x.tstart
-            else:
-                t_gap = y.tstart - x.tend
-                t_bp = x.tend
-            if q_gap >= cfg.min_ins_len and abs(t_gap) <= 100 and codes is not None:
-                seg = codes[x.qend:y.qstart]
+        for xi in range(len(prim)):
+            x = prim[xi]
+            for y in prim[xi + 1:]:
+                if x.tname != y.tname or x.strand != y.strand:
+                    continue
+                q_gap = y.qstart - x.qend
                 if x.strand == "-":
-                    seg = revcomp_codes(seg)
-                sigs.append(InsSignature(
-                    tname=x.tname, tpos=int(t_bp), length=int(q_gap),
-                    read=qname, qpos=int(x.qend), strand=x.strand,
-                    seq=decode(seg)))
+                    # query coords are strand-independent; target
+                    # adjacency order flips for '-' strand
+                    t_gap = x.tstart - y.tend
+                    t_bp = x.tstart
+                else:
+                    t_gap = y.tstart - x.tend
+                    t_bp = x.tend
+                if q_gap >= cfg.min_ins_len and abs(t_gap) <= 100 \
+                        and codes is not None:
+                    seg = codes[x.qend:y.qstart]
+                    if x.strand == "-":
+                        seg = revcomp_codes(seg)
+                    sigs.append(InsSignature(
+                        tname=x.tname, tpos=int(t_bp), length=int(q_gap),
+                        read=qname, qpos=int(x.qend), strand=x.strand,
+                        seq=decode(seg)))
     return sigs
 
 
