@@ -560,8 +560,14 @@ def wavefront_align(
         device_tb = (not interpret
                      and _jax.devices()[0].platform != "cpu")
     # memory-bounded chunking: the dirs tensor costs ~S_pad x W bytes per
-    # pair; bound resident bytes so genome-scale batches can't blow HBM
+    # pair; bound resident bytes so genome-scale batches can't blow HBM.
+    # Pairs are chunked in ascending length order so each chunk's step
+    # budget (max over the chunk, bucketed) stays as small as possible —
+    # mixed-length chunks would run every pair at the longest pair's
+    # padded step count.
     if len(pairs) > 8:
+        order = sorted(range(len(pairs)),
+                       key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
         s_max = max(len(q) + len(t) for q, t in pairs)
         s_pad = STEP_TILE
         while s_pad < s_max:
@@ -575,14 +581,17 @@ def wavefront_align(
         while g_pow2 * 2 <= groups:
             g_pow2 *= 2
         chunk = g_pow2 * 8  # power-of-two group count: no pad waste
-        if len(pairs) > chunk:
-            out = []
-            for c0 in range(0, len(pairs), chunk):
-                out.extend(wavefront_align(
-                    pairs[c0:c0 + chunk], width, mode, params,
-                    guides=guides[c0:c0 + chunk] if guides is not None
-                    else None,
-                    interpret=interpret, device_tb=device_tb))
+        if len(pairs) > chunk or order != list(range(len(pairs))):
+            out: List[Optional[dict]] = [None] * len(pairs)
+            for c0 in range(0, len(order), chunk):
+                sel = order[c0:c0 + chunk]
+                res = wavefront_align(
+                    [pairs[i] for i in sel], width, mode, params,
+                    guides=[guides[i] for i in sel]
+                    if guides is not None else None,
+                    interpret=interpret, device_tb=device_tb)
+                for i, r in zip(sel, res):
+                    out[i] = r
             return out
     batch = prepare_wavefront_batch(pairs, width, guides)
     meta, init, scal, n_tiles, n, scheds = batch
