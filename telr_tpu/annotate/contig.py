@@ -51,13 +51,20 @@ def annotate_contigs(
     from telr_tpu.kernels.mapper import map_batch_grouped
     rec_by_locus = {r.locus_name: r for r in records}
 
-    # 1. INS seq -> contig (primary only), all loci in one dispatch
+    # 1. INS seq -> contig (primary only), all loci in one dispatch.
+    # The INS sequence is a single-read fragment at read error rate, so
+    # seed with the sensitive small-k profile — exact 15-mers are too
+    # sparse on short noisy fragments (reference relies on minimap2's
+    # HPC seeding for the same reason, TELR_te.py:68-78)
+    import dataclasses as _dc
+    ins_preset = _dc.replace(read_preset, k=11, w=5,
+                             min_chain_anchors=2, min_chain_score=24)
     step1_loci = [locus for locus in sorted(passed_loci)
                   if rec_by_locus.get(locus) is not None
                   and locus in contigs]
     groups1 = []
     for locus in step1_loci:
-        aligner = Aligner(SeqDict([contigs[locus]]), read_preset,
+        aligner = Aligner(SeqDict([contigs[locus]]), ins_preset,
                           use_wavefront=use_wavefront)
         groups1.append((aligner,
                         {locus: encode(rec_by_locus[locus].seq)}))
@@ -66,6 +73,7 @@ def annotate_contigs(
     for locus, result in zip(step1_loci, map_batch_grouped(groups1)):
         hits = [a for a in result[locus] if a.primary]
         if not hits:
+            loci_eval.add(locus, "VCF sequence not mapped to contig")
             continue
         best = max(hits, key=lambda a: a.score)
         seq2contig_rows.append((best.tname, best.tstart, best.tend,

@@ -40,6 +40,11 @@ class AlignPreset:
                                    # fraction of the best chain BEFORE the
                                    # DP (0 = keep all; homology presets
                                    # must keep all to find diverged copies)
+    secondary_ratio: float = 0.0   # drop secondary alignments scoring
+                                   # below this fraction of the best
+                                   # primary (minimap2 -p; asm presets
+                                   # use 0.8 so junk secondaries don't
+                                   # block the liftover rescue path)
 
 
 # Read->genome mapping, PacBio CLR error profile (~10-15% indel-heavy).
@@ -64,7 +69,7 @@ ASM10 = AlignPreset(
     name="asm10", k=19, w=10, min_chain_anchors=2, min_chain_score=40,
     max_anchor_gap=2000, band_width=512, match=1, mismatch=9, gap_open=16,
     gap_extend=2, min_identity=0.8,
-    max_secondary=10,
+    max_secondary=10, secondary_ratio=0.8,
 )
 
 # TE library -> sequence homology search (replaces RepeatMasker/rmblast,

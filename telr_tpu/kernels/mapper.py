@@ -251,9 +251,14 @@ class Aligner:
     def _postprocess(self, alns: List[Alignment],
                      max_hits: Optional[int]) -> List[Alignment]:
         pre = self.preset
+        best_primary = max((a.score for a in alns
+                            if a is not None and a.primary), default=0)
         out: List[Alignment] = []
         for aln in alns:
             if aln is None or aln.identity < pre.min_identity:
+                continue
+            if (not aln.primary and pre.secondary_ratio > 0
+                    and aln.score < pre.secondary_ratio * best_primary):
                 continue
             redundant = False
             for kept in out:

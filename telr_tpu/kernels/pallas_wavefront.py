@@ -31,13 +31,18 @@ from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 STEP_TILE = 128
 
 
-def _kernel(meta_ref, init_ref, scal_ref, *refs,
+def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             width, n_tiles, mode, ma, mi, go, ge, amb, tb=False):
     """All DP state lives in VMEM scratch (mutated in place); the step loop
     carries nothing, so Mosaic does not copy state per iteration.
 
-    sc_s lanes: 0=i0, 1=j0, 2=dprev, 3=best, 4=gbest, 5=best_s, 6=best_p
-    (each an (8,1) column of an (8,128) scratch).
+    The step loop is split in three with DYNAMIC block bounds from the
+    per-group scalars gmeta = [nb_end, ib0, ib1]: blocks [0,ib0) and
+    [ib1,nb_end) run the fully-masked step (boundary rows, band validity,
+    end-cell capture), blocks [ib0,ib1) run the interior step with every
+    masking op elided (host guarantees every lane is a valid inner cell
+    there), and blocks beyond the group's real step count never run at
+    all — no pad-step compute.
 
     With tb=True, a per-cell direction byte (2b H-choice | D-ext<<2 |
     I-ext<<3) is staged in VMEM for 8 steps and DMA'd to the dirs output
@@ -90,35 +95,38 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
 
     UNROLL = 8  # 8 | STEP_TILE, so an unrolled block never straddles tiles
 
-    def block_body(k, _):
-        s0 = k * UNROLL
-        base = pl.multiple_of((s0 // STEP_TILE) * STEP_TILE, STEP_TILE)
-        rem = s0 - base
-        mtile = meta_ref[0, :, pl.ds(base, STEP_TILE)]
-        mrolled = pltpu.roll(
-            mtile, (jnp.int32(STEP_TILE) - rem) % jnp.int32(STEP_TILE),
-            axis=1)
-        # state chained through values inside the block; scratch is only
-        # read once and written once per 8 steps
-        st = (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :],
-              qw_s[:, :], tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2],
-              sc_s[:, 2:3], hb_s[:, :], sb_s[:, :], gb_s[:, :])
-        for kk in range(UNROLL):
-            s_cur = s0 + kk + 1
-            st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur)
+    def make_block_body(masked):
+        def block_body(k, _):
+            s0 = k * UNROLL
+            base = pl.multiple_of((s0 // STEP_TILE) * STEP_TILE, STEP_TILE)
+            rem = s0 - base
+            mtile = meta_ref[0, :, pl.ds(base, STEP_TILE)]
+            mrolled = pltpu.roll(
+                mtile, (jnp.int32(STEP_TILE) - rem) % jnp.int32(STEP_TILE),
+                axis=1)
+            # state chained through values inside the block; scratch is
+            # only read once and written once per 8 steps
+            st = (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :],
+                  qw_s[:, :], tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2],
+                  sc_s[:, 2:3], hb_s[:, :], sb_s[:, :], gb_s[:, :])
+            for kk in range(UNROLL):
+                s_cur = s0 + kk + 1
+                st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur,
+                                     masked)
+                if tb:
+                    stage_s[kk * 8:(kk + 1) * 8, :] = dirs
+            (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
+             tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2], sc_s[:, 2:3],
+             hb_s[:, :], sb_s[:, :], gb_s[:, :]) = st
             if tb:
-                stage_s[kk * 8:(kk + 1) * 8, :] = dirs
-        (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
-         tw_s[:, :], sc_s[:, 0:1], sc_s[:, 1:2], sc_s[:, 2:3],
-         hb_s[:, :], sb_s[:, :], gb_s[:, :]) = st
-        if tb:
-            cp = pltpu.make_async_copy(stage_s, dirs_ref.at[g_id, k],
-                                       dma_sem)
-            cp.start()
-            cp.wait()
-        return 0
+                cp = pltpu.make_async_copy(stage_s, dirs_ref.at[g_id, k],
+                                           dma_sem)
+                cp.start()
+                cp.wait()
+            return 0
+        return block_body
 
-    def _one_step(mcol, st, s_cur):
+    def _one_step(mcol, st, s_cur, masked):
         (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, hbv, sbv, gbv) = st
         dbit = (mcol & 1) == 1
         d = jnp.where(dbit, 1, -1)
@@ -167,34 +175,38 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
         if mode == LOCAL:
             H = jnp.maximum(H, 0)
 
-        i_vec = i0 - lane
-        j_vec = j0 + lane
-        if mode == LOCAL:
-            b_i = jnp.zeros((8, W), jnp.int32)
-            b_j = jnp.zeros((8, W), jnp.int32)
+        if masked:
+            i_vec = i0 - lane
+            j_vec = j0 + lane
+            if mode == LOCAL:
+                b_i = jnp.zeros((8, W), jnp.int32)
+                b_j = jnp.zeros((8, W), jnp.int32)
+            else:
+                b_i = -(go + ge * i_vec)
+                b_j = -(go + ge * j_vec)
+            H = jnp.where((i_vec == 0) & (j_vec == 0), 0,
+                          jnp.where(i_vec == 0, b_j,
+                                    jnp.where(j_vec == 0, b_i, H)))
+            valid = ((i_vec >= 0) & (i_vec <= lq_v)
+                     & (j_vec >= 0) & (j_vec <= lt_v))
+            H = jnp.where(valid, H, neg)
+            I = jnp.where(valid, I, neg)
+            D = jnp.where(valid, D, neg)
+            inner = valid & (i_vec >= 1) & (j_vec >= 1)
+            Hm = jnp.where(inner, H, neg)
+            at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
+            gbv = jnp.where(at_end, jnp.maximum(gbv, H), gbv)
         else:
-            b_i = -(go + ge * i_vec)
-            b_j = -(go + ge * j_vec)
-        H = jnp.where((i_vec == 0) & (j_vec == 0), 0,
-                      jnp.where(i_vec == 0, b_j,
-                                jnp.where(j_vec == 0, b_i, H)))
-        valid = ((i_vec >= 0) & (i_vec <= lq_v)
-                 & (j_vec >= 0) & (j_vec <= lt_v))
-        H = jnp.where(valid, H, neg)
-        I = jnp.where(valid, I, neg)
-        D = jnp.where(valid, D, neg)
-
-        inner = valid & (i_vec >= 1) & (j_vec >= 1)
+            # interior: host guarantees every lane is a valid inner cell
+            # and no end cell occurs — all masking elided
+            Hm = H
         if mode != GLOBAL:
             # streaming per-lane best (strict >: earliest step per lane
             # wins); the cross-lane reduction happens once after the loop
-            masked = jnp.where(inner, H, neg)
-            take = masked > hbv
-            hbv = jnp.where(take, masked, hbv)
+            take = Hm > hbv
+            hbv = jnp.where(take, Hm, hbv)
             if tb:
                 sbv = jnp.where(take, jnp.int32(s_cur), sbv)
-        at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
-        gbv = jnp.where(at_end, jnp.maximum(gbv, H), gbv)
 
         if tb:
             # direction byte for traceback (choice | D-ext<<2 | I-ext<<3)
@@ -204,7 +216,8 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
                                jnp.where(H == D, 1, 2))
             if mode == LOCAL:
                 choice = jnp.where(H == 0, 3, choice)
-            choice = jnp.where((i_vec <= 0) | (j_vec <= 0), 3, choice)
+            if masked:
+                choice = jnp.where((i_vec <= 0) | (j_vec <= 0), 3, choice)
             dext = (D != d_open) & (D > neg // 2)
             iext = (I != i_open2) & (I > neg // 2)
             dirs = (choice | jnp.where(dext, 4, 0)
@@ -214,7 +227,14 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
 
         return (H, H1, I, D, QW, TW, i0, j0, d, hbv, sbv, gbv), dirs
 
-    jax.lax.fori_loop(0, n_tiles * STEP_TILE // UNROLL, block_body, 0)
+    nb_end = gmeta_ref[0, 0]
+    ib0 = gmeta_ref[0, 1]
+    ib1 = gmeta_ref[0, 2]
+    body_masked = make_block_body(True)
+    body_interior = make_block_body(False)
+    jax.lax.fori_loop(0, ib0, body_masked, 0)
+    jax.lax.fori_loop(ib0, ib1, body_interior, 0)
+    jax.lax.fori_loop(ib1, nb_end, body_masked, 0)
     # single post-loop cross-lane reduction of the streaming accumulators
     gbest = jnp.max(gb_s[:, :], axis=1, keepdims=True)
     if mode != GLOBAL:
@@ -241,8 +261,8 @@ def _kernel(meta_ref, init_ref, scal_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple",
                                              "n_tiles", "interpret", "tb"))
-def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
-                 interpret=False, tb=False):
+def _call_kernel(meta, init, scal, gmeta, *, width, mode, params_tuple,
+                 n_tiles, interpret=False, tb=False):
     ma, mi, go, ge, amb = params_tuple
     G = meta.shape[0]
     kernel = functools.partial(_kernel, width=width, n_tiles=n_tiles,
@@ -283,6 +303,8 @@ def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
         kernel,
         grid=(G,),
         in_specs=[
+            pl.BlockSpec((1, 4), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, meta.shape[2]), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, width), lambda g: (g, 0, 0),
@@ -294,7 +316,7 @@ def _call_kernel(meta, init, scal, *, width, mode, params_tuple, n_tiles,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(meta, init, scal)
+    )(gmeta, meta, init, scal)
     if tb:
         gout, bout, dirs = outs
         return gout[:, :, 0], bout[:, :, 0], bout[:, :, 1], bout[:, :, 2], \
@@ -338,6 +360,11 @@ def prepare_wavefront_batch(
     meta = np.zeros((G, 8, S_pad), dtype=np.int32)
     init = np.full((G, 24, width), NEG_INF, dtype=np.int32)
     scal = np.zeros((G, 8, 128), dtype=np.int32)
+    # per-group dynamic loop bounds: [nb_end, interior_start, interior_end]
+    # in units of 8-step blocks (see _kernel docstring)
+    gmeta = np.zeros((G, 4), dtype=np.int32)
+    lo_s = np.zeros(G * 8, dtype=np.int64)          # per-pair interior range
+    hi_s = np.full(G * 8, 1 << 40, dtype=np.int64)
     p_idx = np.arange(width)
 
     for idx, sched in enumerate(scheds):
@@ -380,14 +407,51 @@ def prepare_wavefront_batch(
         scal[g, r, 2] = i0
         scal[g, r, 3] = j0
 
-    return meta, init, scal, S_pad // STEP_TILE, n, scheds
+        # interior step range: steps where the whole band is strictly
+        # inside the matrix for this pair (monotone i0/j0 make the set
+        # contiguous), so the kernel can skip all masking there
+        m_arr = np.concatenate(
+            [[sched.m0],
+             sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
+        s_axis = np.arange(sched.n_steps + 1)
+        i0s = (s_axis - m_arr) // 2
+        j0s = (s_axis + m_arr) // 2
+        cond = ((i0s >= width) & (j0s >= 1) & (i0s <= len(q))
+                & (j0s + width - 1 <= len(t) - 1))
+        cond[0] = False
+        nz = np.nonzero(cond)[0]
+        if nz.size:
+            lo_s[idx], hi_s[idx] = int(nz[0]), int(nz[-1]) + 1
+        else:
+            lo_s[idx], hi_s[idx] = 1 << 40, 0
+
+    for g in range(G):
+        real = [i for i in range(g * 8, g * 8 + 8)
+                if scheds[i] is not None]
+        if not real:
+            continue
+        s_max = max(scheds[i].n_steps for i in real)
+        nb_end = -(-s_max // 8)
+        glo = max(int(lo_s[i]) for i in real)
+        ghi = min(int(hi_s[i]) for i in real)
+        ib0 = max(0, -(-(glo - 1) // 8))
+        ib1 = max(0, (ghi - 9) // 8 + 1)
+        ib1 = min(ib1, nb_end)
+        if ib1 <= ib0:
+            ib0 = ib1 = 0
+        gmeta[g, 0] = nb_end
+        gmeta[g, 1] = ib0
+        gmeta[g, 2] = ib1
+
+    return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
 
 
 def run_wavefront_batch(batch, width, mode, params: DPParams,
                         interpret: bool = False):
     meta, init, scal, n_tiles, n = batch[:5]
+    gmeta = batch[6]
     gout, bout = _call_kernel(
-        meta, init, scal, width=width, mode=mode,
+        meta, init, scal, gmeta, width=width, mode=mode,
         params_tuple=params.tuple(), n_tiles=n_tiles, interpret=interpret)
     gout = np.asarray(gout).reshape(-1)[:n]
     bout = np.asarray(bout).reshape(-1)[:n]
@@ -416,9 +480,9 @@ def run_wavefront_batch_tb(batch, width, mode, params: DPParams,
                            interpret: bool = False):
     """Traceback variant: returns (gscore, best, best_s, best_p, dirs)
     per pair, where dirs is the (n, S, width) direction-byte array."""
-    meta, init, scal, n_tiles, n, scheds = batch
+    meta, init, scal, n_tiles, n, scheds, gmeta = batch
     gout, bout, bs, bp, dirs = _call_kernel(
-        meta, init, scal, width=width, mode=mode,
+        meta, init, scal, gmeta, width=width, mode=mode,
         params_tuple=params.tuple(), n_tiles=n_tiles, interpret=interpret,
         tb=True)
     # dirs: (G, S_pad/8, 64, W) -> per-pair (S_pad, W)
@@ -594,7 +658,7 @@ def wavefront_align(
                     out[i] = r
             return out
     batch = prepare_wavefront_batch(pairs, width, guides)
-    meta, init, scal, n_tiles, n, scheds = batch
+    meta, init, scal, n_tiles, n, scheds, gmeta = batch
 
     if not device_tb:
         g, b, bs, bp, dirs = run_wavefront_batch_tb(
@@ -615,7 +679,7 @@ def wavefront_align(
         return out
 
     gout, bout, bs_d, bp_d, dirs = _call_kernel(
-        meta, init, scal, width=width, mode=mode,
+        meta, init, scal, gmeta, width=width, mode=mode,
         params_tuple=params.tuple(), n_tiles=n_tiles,
         interpret=interpret, tb=True)
     g = np.asarray(gout).reshape(-1)[:n]

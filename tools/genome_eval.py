@@ -139,6 +139,7 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
     hap_a = build_hap(truth)
     hap_b = build_hap([t for t in truth if t["zygosity"] == "hom"])
     haplos = [hap_a, hap_b]
+    sources = []  # (hap_idx, start, end) per read, for diagnostics
 
     total_bases = int(coverage) * len(genome)
     reads = []
@@ -147,11 +148,13 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
     while made < total_bases:
         L = int(np.clip(rng.normal(read_len_mean, read_len_mean // 3),
                         2000, 20000))
-        # het sites exist only on alt; sample haplotypes 50/50
-        hap = haplos[int(rng.integers(0, 2))]
+        # het sites exist only on hap A; sample haplotypes 50/50
+        hap_idx = int(rng.integers(0, 2))
+        hap = haplos[hap_idx]
         if L >= len(hap):
             L = len(hap) // 2
         start = int(rng.integers(0, len(hap) - L))
+        sources.append((hap_idx, start, start + L))
         codes = hap[start:start + L].copy()
         # error profile
         nerr = rng.random(L) < err
@@ -179,6 +182,8 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
         reads.append((f"read{k}", codes))
         made += len(codes)
         k += 1
+    simulate_reads.last_sources = sources
+    simulate_reads.last_hap_lens = [len(h) for h in haplos]
     return reads
 
 
@@ -247,7 +252,8 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      use_wavefront=use_wavefront)
     t0 = time.time()
     res = run_pipeline(reads_fa, ref_fa, lib_fa,
-                       os.path.join(workdir, "out"), cfg)
+                       os.path.join(workdir, "out"), cfg,
+                       checkpoint_dir=os.path.join(workdir, "ckpt"))
     pipe_s = time.time() - t0
 
     score = score_calls(res.final_report, truth)
