@@ -227,9 +227,9 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
 
         return (H, H1, I, D, QW, TW, i0, j0, d, hbv, sbv, gbv), dirs
 
-    nb_end = gmeta_ref[0, 0]
-    ib0 = gmeta_ref[0, 1]
-    ib1 = gmeta_ref[0, 2]
+    nb_end = gmeta_ref[g_id, 0]
+    ib0 = gmeta_ref[g_id, 1]
+    ib1 = gmeta_ref[g_id, 2]
     body_masked = make_block_body(True)
     body_interior = make_block_body(False)
     jax.lax.fori_loop(0, ib0, body_masked, 0)
@@ -303,8 +303,9 @@ def _call_kernel(meta, init, scal, gmeta, *, width, mode, params_tuple,
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda g: (g, 0),
-                         memory_space=pltpu.SMEM),
+            # whole (G, 4) scalar table in SMEM; kernel indexes by
+            # program id (blocked SMEM specs violate Mosaic's tiling rule)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, meta.shape[2]), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, width), lambda g: (g, 0, 0),
