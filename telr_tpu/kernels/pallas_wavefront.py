@@ -567,6 +567,31 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     return ops, fi, fj, bad
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
+def _device_traceback_from_best(dirs, m_arr, scal, bs, bp, *, mode, S_max,
+                                NB, W):
+    """Fused start-cell computation + traceback walk, all on device.
+
+    Deriving (si, sj) from the kernel's (best_s, best_p) outputs here —
+    instead of pulling them to the host — removes the host sync between
+    the DP kernel and the walk, so consecutive chunks pipeline through
+    jax's async dispatch (each tunnel round-trip costs ~1s)."""
+    n = m_arr.shape[0]
+    lq = scal[:, :, 0].reshape(-1)[:n]
+    lt = scal[:, :, 1].reshape(-1)[:n]
+    if mode == GLOBAL:
+        si, sj = lq, lt
+    else:
+        s_star = bs.reshape(-1)[:n]
+        p_star = bp.reshape(-1)[:n]
+        m_s = jnp.take_along_axis(m_arr, s_star[:, None], axis=1)[:, 0]
+        o = m_s + 2 * p_star
+        si = (s_star - o) // 2
+        sj = (s_star + o) // 2
+    return _device_traceback(dirs, m_arr, si, sj, mode=mode, S_max=S_max,
+                             NB=NB, W=W) + (si, sj)
+
+
 def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
     """Reverse + run-length-encode a pair's op codes (3 = skip)."""
     ops_rev = ops_rev[ops_rev != 3][::-1]
@@ -630,105 +655,109 @@ def wavefront_align(
     # budget (max over the chunk, bucketed) stays as small as possible —
     # mixed-length chunks would run every pair at the longest pair's
     # padded step count.
-    if len(pairs) > 8:
-        order = sorted(range(len(pairs)),
-                       key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
-        s_max = max(len(q) + len(t) for q, t in pairs)
-        s_pad = STEP_TILE
-        while s_pad < s_max:
-            s_pad *= 2
-        per_pair = s_pad * width
-        # <= 1GB so flat indices into dirs stay within int32 for the
-        # on-device traceback gathers
-        budget = 1 << 30
-        groups = max(1, budget // max(per_pair * 8, 1))
-        g_pow2 = 1
-        while g_pow2 * 2 <= groups:
-            g_pow2 *= 2
-        chunk = g_pow2 * 8  # power-of-two group count: no pad waste
-        if len(pairs) > chunk or order != list(range(len(pairs))):
-            out: List[Optional[dict]] = [None] * len(pairs)
-            for c0 in range(0, len(order), chunk):
-                sel = order[c0:c0 + chunk]
-                res = wavefront_align(
-                    [pairs[i] for i in sel], width, mode, params,
-                    guides=[guides[i] for i in sel]
-                    if guides is not None else None,
-                    interpret=interpret, device_tb=device_tb)
-                for i, r in zip(sel, res):
-                    out[i] = r
-            return out
-    batch = prepare_wavefront_batch(pairs, width, guides)
-    meta, init, scal, n_tiles, n, scheds, gmeta = batch
+    order = sorted(range(len(pairs)),
+                   key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+    s_max = max(len(q) + len(t) for q, t in pairs)
+    s_pad_all = STEP_TILE
+    while s_pad_all < s_max:
+        s_pad_all *= 2
+    # memory-bounded chunking: the dirs tensor costs ~S_pad x W bytes per
+    # pair (<= 1GB so flat indices into dirs stay within int32 for the
+    # on-device traceback gathers).  Pairs are chunked in ascending length
+    # order so each chunk's step budget stays as small as possible.
+    budget = 1 << 30
+    groups = max(1, budget // max(s_pad_all * width * 8, 1))
+    g_pow2 = 1
+    while g_pow2 * 2 <= groups:
+        g_pow2 *= 2
+    chunk = g_pow2 * 8  # power-of-two group count: no pad waste
 
     if not device_tb:
-        g, b, bs, bp, dirs = run_wavefront_batch_tb(
-            batch, width, mode, params, interpret=interpret)
-        out = []
-        for idx, (si, sj, score) in enumerate(
-                _start_cells(pairs, scheds, mode, g, b, bs, bp)):
-            try:
-                cigar, ei, ej = wavefront_traceback(dirs[idx], scheds[idx],
-                                                    si, sj, mode)
-            except RuntimeError:
-                out.append({"score": NEG_INF, "cigar": [], "qstart": 0,
-                            "tstart": 0, "qend": 0, "tend": 0,
-                            "failed": True})
-                continue
-            out.append({"score": score, "cigar": cigar, "qstart": ei,
-                        "tstart": ej, "qend": si, "tend": sj})
+        out: List[Optional[dict]] = [None] * len(pairs)
+        for c0 in range(0, len(order), chunk):
+            sel = order[c0:c0 + chunk]
+            cp = [pairs[i] for i in sel]
+            cg = [guides[i] for i in sel] if guides is not None else None
+            batch = prepare_wavefront_batch(cp, width, cg)
+            scheds = batch[5]
+            g, b, bs, bp, dirs = run_wavefront_batch_tb(
+                batch, width, mode, params, interpret=interpret)
+            for k, (si, sj, score) in enumerate(
+                    _start_cells(cp, scheds, mode, g, b, bs, bp)):
+                try:
+                    cigar, ei, ej = wavefront_traceback(
+                        dirs[k], scheds[k], si, sj, mode)
+                except RuntimeError:
+                    out[sel[k]] = {"score": NEG_INF, "cigar": [],
+                                   "qstart": 0, "tstart": 0, "qend": 0,
+                                   "tend": 0, "failed": True}
+                    continue
+                out[sel[k]] = {"score": score, "cigar": cigar,
+                               "qstart": ei, "tstart": ej, "qend": si,
+                               "tend": sj}
         return out
 
-    gout, bout, bs_d, bp_d, dirs = _call_kernel(
-        meta, init, scal, gmeta, width=width, mode=mode,
-        params_tuple=params.tuple(), n_tiles=n_tiles,
-        interpret=interpret, tb=True)
-    g = np.asarray(gout).reshape(-1)[:n]
-    b = np.asarray(bout).reshape(-1)[:n]
-    bs = np.asarray(bs_d).reshape(-1)[:n]
-    bp = np.asarray(bp_d).reshape(-1)[:n]
-    starts = _start_cells(pairs, scheds, mode, g, b, bs, bp)
-    S_pad = n_tiles * STEP_TILE
-    m_arr = np.zeros((n, S_pad + 1), dtype=np.int32)
-    si_arr = np.zeros(n, dtype=np.int32)
-    sj_arr = np.zeros(n, dtype=np.int32)
-    for idx in range(n):
-        sched = scheds[idx]
-        m = np.concatenate(
-            [[sched.m0],
-             sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
-        m_arr[idx, :len(m)] = m
-        m_arr[idx, len(m):] = m[-1]
-        si_arr[idx], sj_arr[idx] = starts[idx][0], starts[idx][1]
-    NB = S_pad // 8
-    ops, fi, fj, bad = _device_traceback(dirs, m_arr, si_arr, sj_arr,
-                                         mode=mode, S_max=S_pad, NB=NB,
-                                         W=width)
-    ops = np.asarray(ops)          # (S_max, n)
-    fi = np.asarray(fi)
-    fj = np.asarray(fj)
-    bad = np.asarray(bad)
-    out = []
-    for idx, (si, sj, score) in enumerate(starts):
-        if bad[idx]:
-            out.append({"score": NEG_INF, "cigar": [], "qstart": 0,
-                        "tstart": 0, "qend": 0, "tend": 0,
-                        "failed": True})
-            continue
-        cigar = _rle(ops[:, idx])
-        if mode != LOCAL:
-            lead: List[Tuple[str, int]] = []
-            if fi[idx] > 0:
-                lead.append(("I", int(fi[idx])))
-            if fj[idx] > 0:
-                lead.append(("D", int(fj[idx])))
-            if lead:
-                if cigar and lead and lead[-1][0] == cigar[0][0]:
-                    cigar[0] = (cigar[0][0], cigar[0][1] + lead.pop()[1])
-                cigar = lead + cigar
-            ei = ej = 0
-        else:
-            ei, ej = int(fi[idx]), int(fj[idx])
-        out.append({"score": score, "cigar": cigar, "qstart": ei,
-                    "tstart": ej, "qend": si, "tend": sj})
+    # device path: issue every chunk's kernel + fused traceback without
+    # any host sync in between (start cells derive from best_s/best_p on
+    # device), then collect — chunks pipeline through async dispatch
+    issued = []
+    for c0 in range(0, len(order), chunk):
+        sel = order[c0:c0 + chunk]
+        cp = [pairs[i] for i in sel]
+        cg = [guides[i] for i in sel] if guides is not None else None
+        meta, init, scal, n_tiles, n, scheds, gmeta = \
+            prepare_wavefront_batch(cp, width, cg)
+        S_pad = n_tiles * STEP_TILE
+        m_arr = np.zeros((n, S_pad + 1), dtype=np.int32)
+        for idx in range(n):
+            sched = scheds[idx]
+            m = np.concatenate(
+                [[sched.m0],
+                 sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
+            m_arr[idx, :len(m)] = m
+            m_arr[idx, len(m):] = m[-1]
+        gout, bout, bs_d, bp_d, dirs = _call_kernel(
+            meta, init, scal, gmeta, width=width, mode=mode,
+            params_tuple=params.tuple(), n_tiles=n_tiles,
+            interpret=interpret, tb=True)
+        ops, fi, fj, bad, si_d, sj_d = _device_traceback_from_best(
+            dirs, m_arr, scal, bs_d, bp_d, mode=mode, S_max=S_pad,
+            NB=S_pad // 8, W=width)
+        issued.append((sel, n, gout, bout, ops, fi, fj, bad, si_d, sj_d))
+
+    out = [None] * len(pairs)
+    for (sel, n, gout, bout, ops, fi, fj, bad, si_d, sj_d) in issued:
+        g = np.asarray(gout).reshape(-1)[:n]
+        b = np.asarray(bout).reshape(-1)[:n]
+        ops = np.asarray(ops)          # (S_max, n)
+        fi = np.asarray(fi)
+        fj = np.asarray(fj)
+        bad = np.asarray(bad)
+        si_a = np.asarray(si_d)
+        sj_a = np.asarray(sj_d)
+        for k in range(len(sel)):
+            if bad[k]:
+                out[sel[k]] = {"score": NEG_INF, "cigar": [], "qstart": 0,
+                               "tstart": 0, "qend": 0, "tend": 0,
+                               "failed": True}
+                continue
+            score = int(g[k]) if mode == GLOBAL else int(b[k])
+            si, sj = int(si_a[k]), int(sj_a[k])
+            cigar = _rle(ops[:, k])
+            if mode != LOCAL:
+                lead: List[Tuple[str, int]] = []
+                if fi[k] > 0:
+                    lead.append(("I", int(fi[k])))
+                if fj[k] > 0:
+                    lead.append(("D", int(fj[k])))
+                if lead:
+                    if cigar and lead[-1][0] == cigar[0][0]:
+                        cigar[0] = (cigar[0][0],
+                                    cigar[0][1] + lead.pop()[1])
+                    cigar = lead + cigar
+                ei = ej = 0
+            else:
+                ei, ej = int(fi[k]), int(fj[k])
+            out[sel[k]] = {"score": score, "cigar": cigar, "qstart": ei,
+                           "tstart": ej, "qend": si, "tend": sj}
     return out
