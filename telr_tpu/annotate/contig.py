@@ -143,16 +143,18 @@ def reannotate_families(
     te_seqs: SeqDict,
     library: SeqDict,
     preset: AlignPreset = LIB_TO_SEQ,
+    use_wavefront: bool = False,
 ) -> Intervals:
     """RepeatMasker-style family re-annotation of the contig TE sequences
     (reference TELR_te.py:267-370): align each extracted TE sequence against
     the library and replace the family label with the distinct '|'-joined
     labels of the hits, dropping annotations with no hit."""
-    aligner = Aligner(library, preset)
+    aligner = Aligner(library, preset, use_wavefront=use_wavefront)
+    results = aligner.map_batch({s.name: s.codes for s in te_seqs})
     fam_by_contig: Dict[str, str] = {}
     for s in te_seqs:
         contig_name = s.name.rsplit(":", 1)[0]
-        hits = aligner.map_seq(s.name, s.codes)
+        hits = results.get(s.name, [])
         if not hits:
             continue
         fams: List[str] = []

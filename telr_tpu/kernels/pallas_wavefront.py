@@ -586,8 +586,9 @@ def _device_traceback_from_best(dirs, m_arr, scal, bs, bp, *, mode, S_max,
         p_star = bp.reshape(-1)[:n]
         m_s = jnp.take_along_axis(m_arr, s_star[:, None], axis=1)[:, 0]
         o = m_s + 2 * p_star
-        si = (s_star - o) // 2
-        sj = (s_star + o) // 2
+        # s*==0 means the empty alignment won: walk from (0,0)
+        si = jnp.where(s_star == 0, 0, (s_star - o) // 2)
+        sj = jnp.where(s_star == 0, 0, (s_star + o) // 2)
     return _device_traceback(dirs, m_arr, si, sj, mode=mode, S_max=S_max,
                              NB=NB, W=W) + (si, sj)
 
@@ -616,11 +617,15 @@ def _start_cells(pairs, scheds, mode, g, b, bs, bp):
             score = int(g[idx])
         else:
             s_star, p_star = int(bs[idx]), int(bp[idx])
-            m = sched.m0 + int(np.cumsum(sched.drift[:s_star])[-1]) \
-                if s_star > 0 else sched.m0
-            o = m + 2 * p_star
-            si = (s_star - o) // 2
-            sj = (s_star + o) // 2
+            if s_star == 0:
+                # best never improved past the empty alignment: start the
+                # walk at (0,0), not at a band coordinate
+                si = sj = 0
+            else:
+                m = sched.m0 + int(np.cumsum(sched.drift[:s_star])[-1])
+                o = m + 2 * p_star
+                si = (s_star - o) // 2
+                sj = (s_star + o) // 2
             score = int(b[idx])
         starts.append((si, sj, score))
     return starts

@@ -256,7 +256,9 @@ def run_pipeline(
             config.annotate, loci_eval,
             use_wavefront=config.use_wavefront)
         if not config.minimap2_family:
-            contig_te = reannotate_families(contig_te, te_seqs, library)
+            contig_te = reannotate_families(
+                contig_te, te_seqs, library,
+                use_wavefront=config.use_wavefront)
 
     with timed("allele_frequency"):
         te_freq = estimate_af(records, contigs, contig_te, reads, store,
