@@ -220,7 +220,7 @@ def score_calls(final_report, truth, window=100):
 
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
-             workdir=None):
+             workdir=None, read_len=9000):
     from telr_tpu.config import TELRConfig, SVConfig
     from telr_tpu.io.fasta import write_fasta
     from telr_tpu.io.seqs import SeqDict, Sequence
@@ -231,7 +231,8 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     library = make_te_library(rng)
     genome = make_genome(size, library, rng)
     truth = plant_insertions(genome, library, n_ins, rng)
-    reads = simulate_reads(genome, truth, coverage, rng)
+    reads = simulate_reads(genome, truth, coverage, rng,
+                           read_len_mean=read_len)
     sim_s = time.time() - t0
     print(f"simulated: genome {size / 1e6:.1f}Mb, {len(truth)} insertions, "
           f"{len(reads)} reads ({sum(len(c) for _, c in reads) / 1e6:.0f}Mb)"
@@ -266,6 +267,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
         "workload": {"genome_mb": size / 1e6, "coverage": coverage,
                      "n_reads": len(reads), "read_mb": n_bases / 1e6,
                      "n_truth": len(truth), "seed": seed,
+                     "read_len_mean": read_len,
                      "use_wavefront": use_wavefront},
         "score": score,
         "throughput": {
@@ -295,6 +297,7 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="GENOME_EVAL.json")
     ap.add_argument("--wavefront", action="store_true")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--read-len", type=int, default=9000)
     a = ap.parse_args()
     run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
-             a.workdir)
+             a.workdir, read_len=a.read_len)
