@@ -109,8 +109,8 @@ def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
                    use_wavefront: bool = False) -> Optional[Sequence]:
     """Assemble one locus from its supporting reads (single-locus wrapper
     over the batched path)."""
-    contigs, passed = _assemble_batch([(locus_name, read_names)], reads,
-                                      preset, cfg, LociEval(),
+    contigs, passed = _assemble_batch([(locus_name, read_names, [], [])],
+                                      reads, preset, cfg, LociEval(),
                                       use_wavefront=use_wavefront)
     return contigs[locus_name] if locus_name in passed else None
 
@@ -118,15 +118,28 @@ def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
 def assemble_all(records: List[SVRecord], reads: SeqDict,
                  preset: AlignPreset, cfg: AssemblyConfig,
                  loci_eval: LociEval,
-                 use_wavefront: bool = False) -> Tuple[SeqDict, Set[str]]:
+                 use_wavefront: bool = False,
+                 extra_voters: Optional[Dict[str, List[str]]] = None,
+                 ) -> Tuple[SeqDict, Set[str]]:
     """Assemble every candidate locus (reference get_local_contigs,
-    TELR_assembly.py:13-101).  Returns (contigs, assembly_passed_loci)."""
-    return _assemble_batch([(r.locus_name, r.reads) for r in records],
-                           reads, preset, cfg, loci_eval,
-                           use_wavefront=use_wavefront)
+    TELR_assembly.py:13-101).  Returns (contigs, assembly_passed_loci).
+
+    extra_voters: per-locus reads that overlap the locus WITHOUT a
+    supporting signature (the other haplotype, plus flank-only reads).
+    They polish flank columns to full local depth — the reference polishes
+    with support reads only (TELR_assembly.py:185-260), which at modest
+    coverage leaves flanks noisy enough that the liftover's flank
+    alignments fall short of the junction and the call is dropped."""
+    extra_voters = extra_voters or {}
+    return _assemble_batch(
+        [(r.locus_name, r.reads, getattr(r, "spanning_reads", []) or [],
+          extra_voters.get(r.locus_name, []))
+         for r in records],
+        reads, preset, cfg, loci_eval, use_wavefront=use_wavefront)
 
 
-def _assemble_batch(items: List[Tuple[str, List[str]]], reads: SeqDict,
+def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
+                    reads: SeqDict,
                     preset: AlignPreset, cfg: AssemblyConfig,
                     loci_eval: LociEval,
                     use_wavefront: bool = False) -> Tuple[SeqDict, Set[str]]:
@@ -138,27 +151,35 @@ def _assemble_batch(items: List[Tuple[str, List[str]]], reads: SeqDict,
     from telr_tpu.kernels.mapper import map_batch_grouped
 
     class _State:
-        __slots__ = ("name", "avail", "consensus", "active", "failed")
+        __slots__ = ("name", "avail", "extras", "consensus", "active",
+                     "failed")
 
-        def __init__(self, name, avail, consensus):
+        def __init__(self, name, avail, extras, consensus):
             self.name = name
             self.avail = avail
+            self.extras = extras
             self.consensus = consensus
             self.active = True
             self.failed = False
 
     states: List[_State] = []
-    for locus_name, read_names in items:
+    for locus_name, read_names, spanning, extras in items:
         avail = [r for r in read_names if r in reads]
         if len(avail) < cfg.min_reads:
             loci_eval.add(locus_name, "local assembly failed")
             continue
         avail = avail[: cfg.max_reads]
-        lens = sorted(avail, key=lambda r: len(reads[r]))
+        extras = [r for r in extras if r in reads and r not in avail]
+        extras = extras[: cfg.max_extra_voters]
+        # backbone pool: reads whose SV signature spans the insertion, when
+        # known — a clipped junction read as backbone truncates the contig
+        # inside the TE and costs a flank downstream
+        pool = [r for r in spanning if r in avail] or avail
+        lens = sorted(pool, key=lambda r: len(reads[r]))
         backbone = reads[lens[len(lens) // 2]].codes
         if len(backbone) > cfg.max_locus_span:
             backbone = backbone[: cfg.max_locus_span]
-        states.append(_State(locus_name, avail, backbone))
+        states.append(_State(locus_name, avail, extras, backbone))
 
     rounds = 1 + max(0, cfg.polish_iterations)
     for _ in range(rounds):
@@ -170,7 +191,8 @@ def _assemble_batch(items: List[Tuple[str, List[str]]], reads: SeqDict,
             target = SeqDict([Sequence(st.name, st.consensus)])
             aligner = Aligner(target, preset, use_wavefront=use_wavefront)
             groups.append((aligner,
-                           {rn: reads[rn].codes for rn in st.avail}))
+                           {rn: reads[rn].codes
+                            for rn in st.avail + st.extras}))
         results = map_batch_grouped(groups)
         for st, result in zip(live, results):
             alns: List[Tuple[Alignment, np.ndarray]] = []
@@ -179,6 +201,20 @@ def _assemble_batch(items: List[Tuple[str, List[str]]], reads: SeqDict,
                 if not hits:
                     continue
                 best = max(hits, key=lambda h: h.score)
+                alns.append((best, reads[rn].codes))
+            # extra voters: non-support local reads polish the columns they
+            # genuinely cover (flanks / TSD).  A read whose alignment walks
+            # a long indel against the consensus is the OTHER haplotype
+            # trying to delete the insertion (short TEs are alignable
+            # straight through) — excluded from voting.
+            for rn in st.extras:
+                hits = [h for h in result.get(rn, []) if h.primary]
+                if not hits:
+                    continue
+                best = max(hits, key=lambda h: h.score)
+                if any(ln >= 30 and op in ("I", "D")
+                       for op, ln in best.cigar):
+                    continue
                 alns.append((best, reads[rn].codes))
             if not alns:
                 st.active = False

@@ -94,6 +94,10 @@ class SVConfig:
     min_ins_len: int = 30          # min insertion signature length
     max_cluster_dist: int = 1000   # cluster breakpoints within this distance
     min_support: int = 5           # min supporting reads per cluster
+    min_clip_len: int = 500        # min dangling query for a junction sig
+    min_clip_mapq: int = 20        # flank segment mapq gate for junction sigs
+    junction_pos_tol: int = 50     # max |median(jr)-median(jl)| in rescue
+    min_junction_each: int = 2     # min reads per junction side in rescue
     merge_window: int = 20         # window merge of nearby loci (TELR_sv.py:84)
     min_af: float = 0.1            # drop clusters below this AF proxy
     hom_af: float = 0.8            # genotype thresholds (Sniffles-style)
@@ -109,6 +113,7 @@ class AssemblyConfig:
     max_locus_span: int = 30000    # wtdbg2 -g 30k cap (TELR_assembly.py:319)
     min_reads: int = 1
     max_reads: int = 64            # cap reads per locus batch slot
+    max_extra_voters: int = 40     # cap non-support polish voters per locus
     window: int = 1000             # read-fetch window around breakpoint
     min_cov_frac: float = 0.2      # consensus column min coverage fraction
 

@@ -241,9 +241,20 @@ def run_pipeline(
             passed = set(extra.get("passed", []))
             logger.info("assembly stage restored from checkpoint")
         else:
+            # non-support reads overlapping each locus polish the flank
+            # columns to full local depth (the other haplotype + flank-only
+            # reads; assemble_all guards against deletion-of-the-TE votes)
+            extra_voters = {}
+            for r in records:
+                support = set(r.reads)
+                near = {a.qname for a in store.fetch(
+                    r.chrom, r.start - config.assembly.window,
+                    r.end + config.assembly.window) if a.primary}
+                extra_voters[r.locus_name] = sorted(near - support)
             contigs, passed = assemble_all(
                 records, reads, config.read_preset, config.assembly,
-                loci_eval, use_wavefront=config.use_wavefront)
+                loci_eval, use_wavefront=config.use_wavefront,
+                extra_voters=extra_voters)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})
     if records and stage_seconds.get("assembly", 0) > 0:

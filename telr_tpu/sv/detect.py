@@ -38,6 +38,10 @@ class InsSignature:
     qpos: int            # insertion start on the strand-oriented query
     strand: str
     seq: str             # inserted sequence (reference-forward orientation)
+    kind: str = "ins"    # "ins" (two-sided, exact length) | "jr" | "jl"
+                         # jr = right-junction: read enters the insertion at
+                         # tpos (seq = insertion prefix); jl = left-junction:
+                         # read exits the insertion at tpos (seq = suffix)
 
 
 @dataclasses.dataclass
@@ -61,6 +65,10 @@ class SVRecord:
     ins_te_prop: float = 0.0
     ins_te_family: str = ""
     ins_te_strand: str = "."
+    # reads whose signature spans the whole insertion (two-sided, kind
+    # "ins"); preferred as assembly backbones — junction-clipped reads
+    # carry only one flank and would truncate the contig
+    spanning_reads: List[str] = dataclasses.field(default_factory=list)
 
     @property
     def locus_name(self) -> str:
@@ -137,6 +145,60 @@ def extract_signatures(store: AlignmentStore, reads: SeqDict,
                         tname=x.tname, tpos=int(t_bp), length=int(q_gap),
                         read=qname, qpos=int(x.qend), strand=x.strand,
                         seq=decode(seg)))
+
+        # one-sided junction signatures (Sniffles counts clipped reads as
+        # INS support): an alignment boundary where the query continues
+        # >= min_clip_len bases that are NOT aligned adjacently on this
+        # target.  This is how a long TE insertion looks when the TE body
+        # maps to an existing reference copy of the family elsewhere — no
+        # read spans the whole insertion, so split pairs never form, but
+        # left-flank reads all end at the insertion point and right-flank
+        # reads all start there.  Reference-side view per segment:
+        #   right boundary (tend):  query beyond = qlen-qend (+) / qstart (-)
+        #   left boundary (tstart): query before = qstart (+) / qlen-qend (-)
+        # A boundary is "explained locally" (consumed) when another segment
+        # of the same read continues on this target within the cluster
+        # neighbourhood — then the pair logic above owns it.
+        if codes is None:
+            continue
+        consumed = set()  # (segment index, 'R'|'L')
+        for xi, x in enumerate(prim):
+            for yi, y in enumerate(prim):
+                if xi == yi or x.tname != y.tname:
+                    continue
+                # x's right boundary meets y's left boundary on the ref
+                if abs(y.tstart - x.tend) <= cfg.max_cluster_dist:
+                    gap_ok = (y.qstart >= x.qend - 50 if x.strand == "+"
+                              else x.qstart >= y.qend - 50)
+                    if x.strand == y.strand and gap_ok:
+                        consumed.add((xi, "R"))
+                        consumed.add((yi, "L"))
+        cap = 20000  # liftover drops gaps > 20000 (TELR_liftover.py:717-720)
+        for xi, a in enumerate(prim):
+            if a.mapq < cfg.min_clip_mapq:
+                continue
+            # right junction: insertion begins at a.tend
+            cont = (a.qlen - a.qend) if a.strand == "+" else a.qstart
+            if cont >= cfg.min_clip_len and (xi, "R") not in consumed:
+                if a.strand == "+":
+                    seg = codes[a.qend:min(a.qlen, a.qend + cap)]
+                else:
+                    seg = revcomp_codes(codes[max(0, a.qstart - cap):a.qstart])
+                sigs.append(InsSignature(
+                    tname=a.tname, tpos=int(a.tend), length=int(min(cont, cap)),
+                    read=qname, qpos=int(a.qend), strand=a.strand,
+                    seq=decode(seg), kind="jr"))
+            # left junction: insertion ends at a.tstart
+            cont = a.qstart if a.strand == "+" else (a.qlen - a.qend)
+            if cont >= cfg.min_clip_len and (xi, "L") not in consumed:
+                if a.strand == "+":
+                    seg = codes[max(0, a.qstart - cap):a.qstart]
+                else:
+                    seg = revcomp_codes(codes[a.qend:min(a.qlen, a.qend + cap)])
+                sigs.append(InsSignature(
+                    tname=a.tname, tpos=int(a.tstart), length=int(min(cont, cap)),
+                    read=qname, qpos=int(a.qstart), strand=a.strand,
+                    seq=decode(seg), kind="jl"))
     return sigs
 
 
@@ -157,20 +219,71 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
     records: List[SVRecord] = []
     k = 0
     for cl in clusters:
-        # one signature per read: keep the longest
+        # one signature per read: prefer two-sided (exact length) over
+        # one-sided junction evidence, then the longest
         per_read: Dict[str, InsSignature] = {}
         for s in cl:
-            if s.read not in per_read or s.length > per_read[s.read].length:
+            cur = per_read.get(s.read)
+            if (cur is None
+                    or (cur.kind != "ins" and s.kind == "ins")
+                    or (cur.kind == s.kind == "ins"
+                        and s.length > cur.length)
+                    or (cur.kind != "ins" and s.kind != "ins"
+                        and s.length > cur.length)):
                 per_read[s.read] = s
         support = list(per_read.values())
         if len(support) < cfg.min_support:
             continue
-        lens = np.array([s.length for s in support])
+        two_sided = [s for s in support if s.kind == "ins"]
+        # junction evidence is a RESCUE path: a locus already carrying
+        # enough two-sided (read-spans-the-insertion) signatures is called
+        # exactly as if the junction reads did not exist — their clipped
+        # alignments add nothing but noise to the pileup consensus.  Only
+        # when spanning reads are too few (long TEs at modest coverage:
+        # no read traverses the whole insertion) do junction reads join
+        # the support set.
+        if len(two_sided) >= cfg.min_support:
+            support = two_sided
+        jr = [s for s in support if s.kind == "jr"]
+        jl = [s for s in support if s.kind == "jl"]
+        if len(two_sided) < cfg.min_support:
+            # junction evidence is load-bearing: demand a well-formed
+            # junction pair.  True insertions put both flank groups at the
+            # same point (median gap <= ~TSD scale, balanced read counts);
+            # repeat edges / chimera piles scatter by hundreds of bases
+            # (measured: true loci delta 5-12bp, junk 56-534bp).
+            if not two_sided:
+                if (len(jr) < cfg.min_junction_each
+                        or len(jl) < cfg.min_junction_each):
+                    continue
+            if jr and jl:
+                d = abs(float(np.median([s.tpos for s in jr]))
+                        - float(np.median([s.tpos for s in jl])))
+                if d > cfg.junction_pos_tol:
+                    continue
+            elif not two_sided:
+                continue
+        if two_sided:
+            lens = np.array([s.length for s in two_sided])
+            rep = min(two_sided,
+                      key=lambda s: abs(s.length - float(np.median(lens))))
+            rep_seq = rep.seq
+        else:
+            # stitch the longest insertion prefix (jr) + suffix (jl); the
+            # middle may be missing or duplicated — downstream only needs
+            # TE homology (te_filter) and a length scale
+            best_jr = max(jr, key=lambda s: s.length)
+            best_jl = max(jl, key=lambda s: s.length)
+            rep_seq = best_jr.seq + best_jl.seq
+            lens = np.array([len(rep_seq)])
         if np.median(lens) < cfg.min_ins_len:
             continue
-        pos = int(np.median([s.tpos for s in support]))
-        # representative: the read whose insertion length is closest to median
-        rep = min(support, key=lambda s: abs(s.length - float(np.median(lens))))
+        # breakpoint from two-sided signatures when available: junction
+        # tpos values straddle the TSD (left-flank reads align through the
+        # TSD copy, right-flank reads start before it), so mixing them in
+        # shifts the consensus by a few bases and costs TSD recovery
+        pos_sigs = two_sided if two_sided else support
+        pos = int(np.median([s.tpos for s in pos_sigs]))
         tname = support[0].tname
         # DR: reads spanning the breakpoint without a supporting signature
         spanning = set()
@@ -191,9 +304,10 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
             gt = "0/0"
         records.append(SVRecord(
             chrom=tname, start=pos, end=pos, length=int(np.median(lens)),
-            coverage=dv, af=round(af, 6), sv_id=str(k), seq=rep.seq,
+            coverage=dv, af=round(af, 6), sv_id=str(k), seq=rep_seq,
             reads=sorted(alt_reads), sv_filter="PASS", genotype=gt,
-            ref_count=dr, alt_count=dv))
+            ref_count=dr, alt_count=dv,
+            spanning_reads=sorted({s.read for s in two_sided})))
         k += 1
     return records
 

@@ -133,3 +133,110 @@ def test_cluster_min_support():
     assert recs == []
     recs = cluster_signatures(sigs, store, SVConfig(min_support=3, min_af=0.0))
     assert len(recs) == 1
+
+
+# ---------------------------------------------------------------------------
+# One-sided junction (clip) signatures: a long TE insertion that no read
+# fully spans.  Left-flank reads end at the insertion point with >=500bp of
+# dangling (TE) query; right-flank reads start there.  Sniffles counts such
+# clipped reads as INS support (the reference consumes its RNAMES,
+# TELR_sv.py:150-166); without them long TEs at modest coverage are invisible.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def junction_sim():
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 4, 12_000).astype(np.int8)
+    te = rng.integers(0, 4, 6000).astype(np.int8)   # longer than any read
+    refd = SeqDict([Sequence("chrT", ref)])
+    ins_point = 5000
+    reads = SeqDict()
+    k = 0
+    for i in range(4):   # left-flank reads: ref flank + TE prefix
+        s = ins_point - rng.integers(1200, 2000)
+        seq = np.concatenate([ref[s:ins_point], te[:1500]])
+        if i % 2:
+            seq = revcomp_codes(seq)
+        reads.add(Sequence(f"jl{k}", seq.astype(np.int8))); k += 1
+    for i in range(4):   # right-flank reads: TE suffix + ref flank
+        e = ins_point + rng.integers(1200, 2000)
+        seq = np.concatenate([te[-1500:], ref[ins_point:e]])
+        if i % 2:
+            seq = revcomp_codes(seq)
+        reads.add(Sequence(f"jr{k}", seq.astype(np.int8))); k += 1
+    for i in range(3):   # reference-haplotype spanning reads
+        s = ins_point - 1500
+        reads.add(Sequence(f"ref{k}", ref[s:s + 3000].copy())); k += 1
+    aligner = Aligner(refd, MAP_PB)
+    alns = []
+    for s in reads:
+        alns.extend(aligner.map_seq(s.name, s.codes))
+    return refd, reads, AlignmentStore(alns)
+
+
+def test_junction_signatures_extracted(junction_sim):
+    refd, reads, store = junction_sim
+    sigs = extract_signatures(store, reads, SVConfig())
+    kinds = {s.kind for s in sigs}
+    assert "jr" in kinds and "jl" in kinds
+    for s in sigs:
+        if s.kind in ("jr", "jl"):
+            assert abs(s.tpos - 5000) < 50
+            assert s.length >= 500
+
+
+def test_junction_rescue_calls_unspanned_te(junction_sim):
+    refd, reads, store = junction_sim
+    recs = detect_insertions(store, reads, SVConfig(min_support=5))
+    assert len(recs) == 1
+    r = recs[0]
+    assert abs(r.start - 5000) < 50
+    assert r.alt_count >= 6          # all 8 clipped reads minus edge cases
+    assert not r.spanning_reads      # nothing spans the 6kb TE
+    # stitched prefix+suffix carries TE sequence for the te_filter stage
+    assert len(r.seq) >= 2000
+
+
+def test_junction_needs_both_flanks():
+    """Dangling tails on one side only (chimera pile-up) must not call."""
+    rng = np.random.default_rng(13)
+    ref = rng.integers(0, 4, 12_000).astype(np.int8)
+    te = rng.integers(0, 4, 6000).astype(np.int8)
+    refd = SeqDict([Sequence("chrT", ref)])
+    reads = SeqDict()
+    for k in range(6):   # left-flank reads only
+        s = 5000 - rng.integers(1200, 2000)
+        seq = np.concatenate([ref[s:5000], te[:1500]])
+        reads.add(Sequence(f"jl{k}", seq.astype(np.int8)))
+    aligner = Aligner(refd, MAP_PB)
+    alns = []
+    for s in reads:
+        alns.extend(aligner.map_seq(s.name, s.codes))
+    recs = detect_insertions(AlignmentStore(alns), reads,
+                             SVConfig(min_support=5))
+    assert recs == []
+
+
+def test_rescue_does_not_perturb_spanned_locus(sim):
+    """A locus with enough two-sided signatures is called identically
+    whether or not clipped junction reads exist nearby (rescue-only
+    policy keeps round-1 goldens byte-stable)."""
+    ref, ins, refd, reads, store = sim
+    cfg = SVConfig(min_support=3)
+    base = detect_insertions(store, reads, cfg)
+    # add two clipped reads (left flank + insertion prefix of a long tail)
+    rng = np.random.default_rng(17)
+    tail = rng.integers(0, 4, 2000).astype(np.int8)
+    reads2 = SeqDict([s for s in reads])
+    aligner = Aligner(refd, MAP_PB)
+    alns = list(store.all())
+    for k in range(2):
+        s = 5000 - rng.integers(1200, 2000)
+        seq = np.concatenate([ref[s:5000], tail]).astype(np.int8)
+        reads2.add(Sequence(f"clip{k}", seq))
+        alns.extend(aligner.map_seq(f"clip{k}", seq))
+    recs = detect_insertions(AlignmentStore(alns), reads2, cfg)
+    assert len(recs) == len(base) == 1
+    a, b = base[0], recs[0]
+    assert (a.start, a.end, a.length, a.reads) == (b.start, b.end,
+                                                   b.length, b.reads)

@@ -199,8 +199,11 @@ def score_calls(final_report, truth, window=100):
         for ti, t in enumerate(truth):
             if ti in used:
                 continue
-            if abs(call["start"] - t["pos"]) <= window and \
-                    t["family"] in str(call["family"]).split("|"):
+            # a call's [start, end] spans its breakpoint uncertainty (wide
+            # flank gaps report the whole gap, TELR get_coord) — match the
+            # truth against the interval, padded by the window
+            if (call["start"] - window <= t["pos"] <= call["end"] + window
+                    and t["family"] in str(call["family"]).split("|")):
                 hit = ti
                 break
         if hit is None:
