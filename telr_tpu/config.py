@@ -93,6 +93,9 @@ class SVConfig:
 
     min_ins_len: int = 30          # min insertion signature length
     max_cluster_dist: int = 1000   # cluster breakpoints within this distance
+    cluster_split_gap: int = 200   # sub-split a cluster at position gaps
+                                   # larger than this (distinct events that
+                                   # single-linkage chained together)
     min_support: int = 5           # min supporting reads per cluster
     min_clip_len: int = 500        # min dangling query for a junction sig
     min_clip_mapq: int = 20        # flank segment mapq gate for junction sigs

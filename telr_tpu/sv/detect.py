@@ -215,6 +215,23 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
             clusters[-1].append(s)
         else:
             clusters.append([s])
+    # sub-split at large internal position gaps: single-linkage chains
+    # distinct events (e.g. a junction pile and an unrelated small-ins
+    # pile ~1kb away) into one cluster, and the merged cluster then votes
+    # with the wrong evidence class.  True clusters are tight (two-sided
+    # sigs are CIGAR-exact, junction sigs scatter by ~TSD), so an
+    # intra-cluster gap beyond cluster_split_gap separates real events.
+    split: List[List[InsSignature]] = []
+    for cl in clusters:
+        cur = [cl[0]]
+        for s in cl[1:]:
+            if s.tpos - cur[-1].tpos > cfg.cluster_split_gap:
+                split.append(cur)
+                cur = [s]
+            else:
+                cur.append(s)
+        split.append(cur)
+    clusters = split
 
     records: List[SVRecord] = []
     k = 0
@@ -301,6 +318,11 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
         elif af >= cfg.het_af:
             gt = "0/1"
         else:
+            # 0/0 clusters are still emitted and sv_filter is always PASS:
+            # the reference's only VCF-level drop is the bcftools query
+            # `SVTYPE="INS" & ALT!="<INS>"` (TELR_sv.py:161-163) — it
+            # keeps Sniffles 0/0 genotypes and applies no FILTER gate, so
+            # downstream stages must see these records for parity
             gt = "0/0"
         records.append(SVRecord(
             chrom=tname, start=pos, end=pos, length=int(np.median(lens)),

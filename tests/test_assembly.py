@@ -84,3 +84,50 @@ def test_consensus_vote_deletion_majority():
         alns.append((mk([("M", 4), ("D", 1), ("M", 3)], 7), q))
     cons = consensus_vote(backbone, alns, min_cov=1)
     assert list(cons) == [0, 1, 2, 3, 1, 2, 3]
+
+
+def test_extra_voters_polish_flanks_but_cannot_delete_te():
+    """Non-support 'extra voter' reads (the other haplotype) polish the
+    flank columns they cover, but a read whose alignment walks a long
+    deletion over the insertion is excluded from voting — otherwise at a
+    het short-TE locus the reference haplotype would vote the TE away."""
+    from telr_tpu.assembly.local import _assemble_batch
+    from telr_tpu.utils.evallog import LociEval
+
+    rng = np.random.default_rng(3)
+    flank_l = rng.integers(0, 4, 1500).astype(np.int8)
+    te = rng.integers(0, 4, 300).astype(np.int8)       # short, alignable-through
+    flank_r = rng.integers(0, 4, 1500).astype(np.int8)
+    allele = np.concatenate([flank_l, te, flank_r])
+    ref_hap = np.concatenate([flank_l, flank_r])
+
+    reads = SeqDict()
+    support = []
+    for k in range(4):
+        reads.add(Sequence(f"alt{k}", _noisy_copy(rng, allele)))
+        support.append(f"alt{k}")
+    extras = []
+    for k in range(12):
+        reads.add(Sequence(f"ref{k}", _noisy_copy(rng, ref_hap)))
+        extras.append(f"ref{k}")
+
+    cfg = AssemblyConfig(polish_iterations=2)
+    contigs, passed = _assemble_batch(
+        [("locus", support, support, extras)], reads, MAP_PB, cfg,
+        LociEval())
+    assert "locus" in passed
+    ctg = contigs["locus"].codes
+    # the TE must survive (ref reads may not delete it)
+    al = Aligner(SeqDict([Sequence("ctg", ctg)]), MAP_PB)
+    hits = al.map_seq("te", te)
+    assert hits, "TE vanished from the consensus"
+    best = max(hits, key=lambda h: h.score)
+    assert best.blocklen >= 250
+    # and overall the contig matches the allele closely
+    hits2 = Aligner(SeqDict([Sequence("allele", allele.astype(np.int8))]),
+                    MAP_PB).map_seq("ctg", ctg)
+    b2 = max(hits2, key=lambda h: h.score)
+    # TE interior is only covered by the 4 support reads (~11% error), so
+    # whole-contig identity is bounded by that; the guard assertion above
+    # is the regression target
+    assert b2.matches / b2.blocklen > 0.95
