@@ -53,7 +53,12 @@ def main():
             idx = rng.integers(0, LQ, 200)
             q[idx] = rng.integers(0, 4, 200)
             pairs.append((q, t))
-        batch = prepare_wavefront_batch(pairs, W)
+        # chain-anchor guide along the true diagonal — the mapper always
+        # passes anchors (map_batch_grouped), so the representative band
+        # schedule tracks the alignment path, not the (lq,lt) corner
+        aq = np.arange(256, LQ - 256, 512, dtype=np.int64)
+        guides = [(aq, aq) for _ in range(B)]
+        batch = prepare_wavefront_batch(pairs, W, guides)
         params = dp.DPParams()
 
         def run():
@@ -65,11 +70,11 @@ def main():
         # secondary: the full-alignment path the pipeline actually uses
         # (kernel + on-device traceback walk + host RLE) — stderr only
         from telr_tpu.kernels.pallas_wavefront import wavefront_align
-        wavefront_align(pairs, W, dp.EXTEND, params)  # warm
+        wavefront_align(pairs, W, dp.EXTEND, params, guides=guides)  # warm
         times = []
         for _ in range(3):
             t1 = time.time()
-            wavefront_align(pairs, W, dp.EXTEND, params)
+            wavefront_align(pairs, W, dp.EXTEND, params, guides=guides)
             times.append(time.time() - t1)
         med = sorted(times)[1]
         print(f"traceback path: {med:.2f}s/iter "

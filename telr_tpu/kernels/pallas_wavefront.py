@@ -95,7 +95,7 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
 
     UNROLL = 8  # 8 | STEP_TILE, so an unrolled block never straddles tiles
 
-    def make_block_body(masked):
+    def make_block_body(masked, alt=False):
         def block_body(k, _):
             s0 = k * UNROLL
             base = pl.multiple_of((s0 // STEP_TILE) * STEP_TILE, STEP_TILE)
@@ -112,7 +112,7 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             for kk in range(UNROLL):
                 s_cur = s0 + kk + 1
                 st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur,
-                                     masked)
+                                     masked, alt)
                 if tb:
                     stage_s[kk * 8:(kk + 1) * 8, :] = dirs
             (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
@@ -126,7 +126,7 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             return 0
         return block_body
 
-    def _one_step(mcol, st, s_cur, masked):
+    def _one_step(mcol, st, s_cur, masked, alt=False):
         (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, hbv, sbv, gbv) = st
         dbit = (mcol & 1) == 1
         d = jnp.where(dbit, 1, -1)
@@ -162,9 +162,18 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
         Iv = jnp.where(dbit, I1L, I1)
         Hh = jnp.where(dbit, H1, H1R)
         Dh = jnp.where(dbit, D1, D1R)
-        dd = d + dprev
-        Hd = jnp.where(dd == 2, shiftL(H2),
-                       jnp.where(dd == -2, shiftR(H2), H2))
+        if alt:
+            # alternating-drift specialization: the host guarantees every
+            # row's drift flips sign step-to-step in this range, so
+            # dd = d + dprev == 0 (or +-1 on the first step) and the
+            # diagonal predecessor is H2 unshifted — both H2 shift rolls
+            # and the 3-way select are elided (~1/3 of the step's VPU ops
+            # in the near-diagonal regime that dominates real schedules)
+            Hd = H2
+        else:
+            dd = d + dprev
+            Hd = jnp.where(dd == 2, shiftL(H2),
+                           jnp.where(dd == -2, shiftR(H2), H2))
 
         I = jnp.maximum(guard(Hv, go + ge), guard(Iv, ge))
         D = jnp.maximum(guard(Hh, go + ge), guard(Dh, ge))
@@ -230,10 +239,15 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
     nb_end = gmeta_ref[g_id, 0]
     ib0 = gmeta_ref[g_id, 1]
     ib1 = gmeta_ref[g_id, 2]
+    ia0 = gmeta_ref[g_id, 4]
+    ia1 = gmeta_ref[g_id, 5]
     body_masked = make_block_body(True)
     body_interior = make_block_body(False)
+    body_interior_alt = make_block_body(False, alt=True)
     jax.lax.fori_loop(0, ib0, body_masked, 0)
-    jax.lax.fori_loop(ib0, ib1, body_interior, 0)
+    jax.lax.fori_loop(ib0, ia0, body_interior, 0)
+    jax.lax.fori_loop(ia0, ia1, body_interior_alt, 0)
+    jax.lax.fori_loop(ia1, ib1, body_interior, 0)
     jax.lax.fori_loop(ib1, nb_end, body_masked, 0)
     # single post-loop cross-lane reduction of the streaming accumulators
     gbest = jnp.max(gb_s[:, :], axis=1, keepdims=True)
@@ -361,11 +375,14 @@ def prepare_wavefront_batch(
     meta = np.zeros((G, 8, S_pad), dtype=np.int32)
     init = np.full((G, 24, width), NEG_INF, dtype=np.int32)
     scal = np.zeros((G, 8, 128), dtype=np.int32)
-    # per-group dynamic loop bounds: [nb_end, interior_start, interior_end]
-    # in units of 8-step blocks (see _kernel docstring)
-    gmeta = np.zeros((G, 4), dtype=np.int32)
+    # per-group dynamic loop bounds: [nb_end, interior_start, interior_end,
+    # -, alt_start, alt_end] in units of 8-step blocks (see _kernel
+    # docstring); [alt_start, alt_end) additionally guarantees every row's
+    # drift alternates, enabling the H2-shift-free step body
+    gmeta = np.zeros((G, 8), dtype=np.int32)
     lo_s = np.zeros(G * 8, dtype=np.int64)          # per-pair interior range
     hi_s = np.full(G * 8, 1 << 40, dtype=np.int64)
+    alt_blocks = np.ones((G * 8, S_pad // 8), dtype=bool)
     p_idx = np.arange(width)
 
     for idx, sched in enumerate(scheds):
@@ -426,6 +443,15 @@ def prepare_wavefront_batch(
         else:
             lo_s[idx], hi_s[idx] = 1 << 40, 0
 
+        # alternating-drift step mask: step s (1-based) has dd==0 iff
+        # drift[s-1] != drift[s-2]; s=1 and pad steps are trivially safe
+        # (dd=+-1 resp. discarded rows)
+        alt_steps = np.ones(S_pad, dtype=bool)
+        if sched.n_steps > 1:
+            dr = sched.drift[: sched.n_steps]
+            alt_steps[1: sched.n_steps] = dr[1:] != dr[:-1]
+        alt_blocks[idx] = alt_steps.reshape(-1, 8).all(axis=1)
+
     for g in range(G):
         real = [i for i in range(g * 8, g * 8 + 8)
                 if scheds[i] is not None]
@@ -443,6 +469,27 @@ def prepare_wavefront_batch(
         gmeta[g, 0] = nb_end
         gmeta[g, 1] = ib0
         gmeta[g, 2] = ib1
+        # longest contiguous run of blocks where EVERY row's drift
+        # alternates, inside the interior range -> H2-shift-free body
+        ia0 = ia1 = ib0
+        if ib1 > ib0:
+            ok = alt_blocks[g * 8: g * 8 + 8, ib0:ib1].all(axis=0)
+            best_len = run_len = 0
+            run_start = cur_start = 0
+            for bi, flag in enumerate(ok):
+                if flag:
+                    if run_len == 0:
+                        cur_start = bi
+                    run_len += 1
+                    if run_len > best_len:
+                        best_len, run_start = run_len, cur_start
+                else:
+                    run_len = 0
+            if best_len > 0:
+                ia0 = ib0 + run_start
+                ia1 = ia0 + best_len
+        gmeta[g, 4] = ia0
+        gmeta[g, 5] = ia1
 
     return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
 

@@ -56,6 +56,26 @@ class WaveSchedule:
     lt: int
 
 
+def _cluster_corrections(target_m: np.ndarray, S: int,
+                         width: int) -> np.ndarray:
+    """Quantize the band-center guide into piecewise-constant plateaus.
+
+    The parity walk alternates drift sign (+1/-1/+1/...) wherever the
+    target is flat — the regime the kernel's shift-free interior body
+    (pallas_wavefront.py alt range) exploits.  Interpolating the guide
+    smoothly spreads length-mismatch corrections evenly, breaking
+    alternation in nearly every 8-step block; rounding the target to
+    multiples of q clusters the same corrections into rare q-sized jumps
+    instead.  Deviation from the smooth guide is bounded by q/2 =
+    width//16 offset units, far inside the band's ~width half-slack, so
+    band coverage of the guide path is unchanged.  The guide is
+    piecewise-linear through the chain anchors, so the number of jumps is
+    bounded by its total variation / q — no oscillation at plateau
+    boundaries."""
+    q = float(max(2, width // 8))
+    return (np.rint(target_m / q) * q).astype(np.int64)
+
+
 def build_schedule(q: np.ndarray, t: np.ndarray, width: int,
                    guide_qs: Optional[np.ndarray] = None,
                    guide_ts: Optional[np.ndarray] = None,
@@ -81,6 +101,8 @@ def build_schedule(q: np.ndarray, t: np.ndarray, width: int,
     s_axis = np.arange(S + 1, dtype=np.float64)
     o_guide = np.interp(s_axis, gs, go_)
     target_m = np.rint(o_guide).astype(np.int64) - width
+    if width >= 64:
+        target_m = _cluster_corrections(target_m, S, width)
 
     # parity walk: m_s ≡ s (mod 2), |m_s - m_{s-1}| = 1, tracking target
     m0 = int(target_m[0])
