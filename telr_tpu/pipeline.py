@@ -108,6 +108,9 @@ class PipelineResult:
     final_report: List[dict]
     loci_eval: LociEval
     stage_seconds: Dict[str, float]
+    # stages whose stage_seconds reflect a checkpoint restore, not compute —
+    # throughput derived from them is meaningless
+    restored_stages: List[str] = dataclasses.field(default_factory=list)
 
 
 def run_pipeline(
@@ -143,6 +146,7 @@ def run_pipeline(
     )
 
     stage_seconds: Dict[str, float] = {}
+    restored_stages: List[str] = []
 
     def timed(name):
         class _T:
@@ -189,6 +193,7 @@ def run_pipeline(
         elif ckpt.has("alignment"):
             store = ckpt.load_alignments("alignment")
             logger.info("alignment stage restored from checkpoint")
+            restored_stages.append("alignment")
         else:
             # stage-1 genome mapping prunes weak secondary chains before
             # the DP (minimap2-style) — the big mapping-throughput lever
@@ -220,6 +225,7 @@ def run_pipeline(
         if ckpt.has("te_filter"):
             records = ckpt.load_records("te_filter")
             logger.info("te_filter stage restored from checkpoint")
+            restored_stages.append("te_filter")
         else:
             records = filter_te_candidates(
                 records, library, loci_eval,
@@ -240,6 +246,7 @@ def run_pipeline(
             contigs, extra = ckpt.load_seqs("assembly")
             passed = set(extra.get("passed", []))
             logger.info("assembly stage restored from checkpoint")
+            restored_stages.append("assembly")
         else:
             # non-support reads overlapping each locus polish the flank
             # columns to full local depth (the other haplotype + flank-only
@@ -330,4 +337,5 @@ def run_pipeline(
         sample_name=sample_name, records=records, contigs=contigs,
         contig_te=contig_te, te_freq=te_freq, liftover_report=lift_report,
         summary=summary, final_report=final, loci_eval=loci_eval,
-        stage_seconds=stage_seconds)
+        stage_seconds=stage_seconds,
+        restored_stages=restored_stages)

@@ -262,10 +262,15 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
 
     score = score_calls(res.final_report, truth)
     n_bases = sum(len(c) for _, c in reads)
-    align_s = res.stage_seconds.get("alignment", float("nan"))
-    locus_stages = sum(res.stage_seconds.get(k, 0.0) for k in
-                      ("assembly", "annotate_contig", "allele_frequency",
-                       "liftover"))
+    restored = set(getattr(res, "restored_stages", []))
+    # a checkpoint-restored stage's wall time is a JSON load, not compute —
+    # report no throughput rather than a fantasy number
+    align_s = (float("nan") if "alignment" in restored
+               else res.stage_seconds.get("alignment", float("nan")))
+    locus_stages = (0.0 if "assembly" in restored
+                    else sum(res.stage_seconds.get(k, 0.0) for k in
+                             ("assembly", "annotate_contig",
+                              "allele_frequency", "liftover")))
     report = {
         "workload": {"genome_mb": size / 1e6, "coverage": coverage,
                      "n_reads": len(reads), "read_mb": n_bases / 1e6,
@@ -274,11 +279,14 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      "use_wavefront": use_wavefront},
         "score": score,
         "throughput": {
-            "reads_per_s": round(len(reads) / align_s, 2),
-            "read_mb_per_s": round(n_bases / 1e6 / align_s, 3),
+            "reads_per_s": round(len(reads) / align_s, 2)
+            if align_s == align_s else None,
+            "read_mb_per_s": round(n_bases / 1e6 / align_s, 3)
+            if align_s == align_s else None,
             "loci_per_s": round(len(res.records) / locus_stages, 3)
             if locus_stages else None,
         },
+        "restored_stages": sorted(restored),
         "stage_seconds": {k: round(v, 2)
                           for k, v in res.stage_seconds.items()},
         "wall_s": round(pipe_s, 1),
