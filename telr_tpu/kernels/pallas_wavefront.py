@@ -275,10 +275,24 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=("width", "mode", "params_tuple",
                                              "n_tiles", "interpret", "tb"))
-def _call_kernel(meta, init, scal, gmeta, *, width, mode, params_tuple,
-                 n_tiles, interpret=False, tb=False):
+def _call_kernel(meta, init_codes, scal, gmeta, *, width, mode,
+                 params_tuple, n_tiles, interpret=False, tb=False):
+    """meta/init_codes/scal arrive in the compact WIRE format produced by
+    prepare_wavefront_batch (int8 step codes, int8 window codes, (G,8,8)
+    scalars) — ~10x less host->device traffic than the kernel-facing
+    layout, which is reconstructed here on device with cheap XLA ops:
+    the H-init row is a two-iota compare, the scalar table a pad, the
+    step codes a widening cast."""
     ma, mi, go, ge, amb = params_tuple
     G = meta.shape[0]
+    meta = meta.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 8, width), 2)
+    i0 = scal[:, :, 2:3]
+    j0 = scal[:, :, 3:4]
+    h1 = jnp.where((i0 - lane == 0) & (j0 + lane == 0), 0,
+                   jnp.int32(NEG_INF))
+    init = jnp.concatenate([h1, init_codes.astype(jnp.int32)], axis=1)
+    scal = jnp.pad(scal, ((0, 0), (0, 0), (0, 128 - scal.shape[2])))
     kernel = functools.partial(_kernel, width=width, n_tiles=n_tiles,
                                mode=mode, ma=ma, mi=mi, go=go, ge=ge,
                                amb=amb, tb=tb)
@@ -372,9 +386,14 @@ def prepare_wavefront_batch(
         Sb *= 2
     S_pad = Sb
 
-    meta = np.zeros((G, 8, S_pad), dtype=np.int32)
-    init = np.full((G, 24, width), NEG_INF, dtype=np.int32)
-    scal = np.zeros((G, 8, 128), dtype=np.int32)
+    # compact wire format (see _call_kernel): packed step codes fit in 7
+    # bits, window codes in 3, and only 4 scalar lanes are real — shipping
+    # int8/compact and reconstructing on device cuts the per-chunk
+    # host->device transfer ~10x (meta alone is 4x; the H-init rows and
+    # the 124 dead scalar lanes never cross at all)
+    meta = np.zeros((G, 8, S_pad), dtype=np.int8)
+    init = np.full((G, 16, width), 4, dtype=np.int8)  # qw rows 0:8, tw 8:16
+    scal = np.zeros((G, 8, 8), dtype=np.int32)
     # per-group dynamic loop bounds: [nb_end, interior_start, interior_end,
     # -, alt_start, alt_end] in units of 8-step blocks (see _kernel
     # docstring); [alt_start, alt_end) additionally guarantees every row's
@@ -389,10 +408,9 @@ def prepare_wavefront_batch(
         g, r = divmod(idx, 8)
         if sched is None:
             # dummy pair: drift +1 forever, zero-length; codes 4 so pad
-            # steps can never score a match regardless of lengths
+            # steps can never score a match regardless of lengths (init
+            # code rows already default to 4)
             meta[g, r, :] = 1 | (4 << 1) | (4 << 4)
-            init[g, 8 + r, :] = 4
-            init[g, 16 + r, :] = 4
             continue
         drift_bits = (sched.drift > 0).astype(np.int32)
         q_in = sched.q_in.astype(np.int32) & 7
@@ -413,13 +431,8 @@ def prepare_wavefront_batch(
         tidx = j0 - 1 + p_idx
         ok = (tidx >= 0) & (tidx < len(t))
         tw[ok] = t[tidx[ok]]
-        i_vec = i0 - p_idx
-        j_vec = j0 + p_idx
-        h1 = np.where((i_vec == 0) & (j_vec == 0), 0, NEG_INF)
-
-        init[g, r, :] = h1
-        init[g, 8 + r, :] = qw
-        init[g, 16 + r, :] = tw
+        init[g, r, :] = qw
+        init[g, 8 + r, :] = tw
         scal[g, r, 0] = len(q)
         scal[g, r, 1] = len(t)
         scal[g, r, 2] = i0
@@ -615,15 +628,23 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
-def _device_traceback_from_best(dirs, m_arr, scal, bs, bp, *, mode, S_max,
+def _device_traceback_from_best(dirs, meta, scal, bs, bp, *, mode, S_max,
                                 NB, W):
     """Fused start-cell computation + traceback walk, all on device.
 
     Deriving (si, sj) from the kernel's (best_s, best_p) outputs here —
     instead of pulling them to the host — removes the host sync between
     the DP kernel and the walk, so consecutive chunks pipeline through
-    jax's async dispatch (each tunnel round-trip costs ~1s)."""
-    n = m_arr.shape[0]
+    jax's async dispatch (each tunnel round-trip costs ~1s).  The band
+    walk m_s is reconstructed from the wire meta's drift bits (m0 +
+    cumsum) rather than shipped: the host-built (n, S_pad+1) int32 m_arr
+    was as large a transfer as meta itself."""
+    n = meta.shape[0] * 8
+    drift = (meta.astype(jnp.int32) & 1) * 2 - 1
+    drift = drift.reshape(n, -1)
+    m0 = (scal[:, :, 3] - scal[:, :, 2]).reshape(n)      # m0 = j0 - i0
+    m_arr = jnp.concatenate(
+        [m0[:, None], m0[:, None] + jnp.cumsum(drift, axis=1)], axis=1)
     lq = scal[:, :, 0].reshape(-1)[:n]
     lt = scal[:, :, 1].reshape(-1)[:n]
     if mode == GLOBAL:
@@ -760,20 +781,16 @@ def wavefront_align(
         meta, init, scal, n_tiles, n, scheds, gmeta = \
             prepare_wavefront_batch(cp, width, cg)
         S_pad = n_tiles * STEP_TILE
-        m_arr = np.zeros((n, S_pad + 1), dtype=np.int32)
-        for idx in range(n):
-            sched = scheds[idx]
-            m = np.concatenate(
-                [[sched.m0],
-                 sched.m0 + np.cumsum(sched.drift.astype(np.int64))])
-            m_arr[idx, :len(m)] = m
-            m_arr[idx, len(m):] = m[-1]
+        # ship the compact wire arrays ONCE; the kernel call and the
+        # traceback walk share the same device buffers
+        meta = _jax.device_put(meta)
+        scal = _jax.device_put(scal)
         gout, bout, bs_d, bp_d, dirs = _call_kernel(
             meta, init, scal, gmeta, width=width, mode=mode,
             params_tuple=params.tuple(), n_tiles=n_tiles,
             interpret=interpret, tb=True)
         ops, fi, fj, bad, si_d, sj_d = _device_traceback_from_best(
-            dirs, m_arr, scal, bs_d, bp_d, mode=mode, S_max=S_pad,
+            dirs, meta, scal, bs_d, bp_d, mode=mode, S_max=S_pad,
             NB=S_pad // 8, W=width)
         issued.append((sel, n, gout, bout, ops, fi, fj, bad, si_d, sj_d))
 
