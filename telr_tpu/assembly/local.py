@@ -71,7 +71,6 @@ def consensus_vote(backbone: np.ndarray,
                 cov[tj:tj + ln] += 1
                 tj += ln
 
-    out: List[np.ndarray] = []
     n_reads = len(alignments)
     # trim low-coverage tips
     covered = np.nonzero(cov >= (min_cov if n_reads > 2 else 1))[0]
@@ -79,29 +78,40 @@ def consensus_vote(backbone: np.ndarray,
         return np.zeros(0, dtype=np.int8)
     lo, hi = int(covered[0]), int(covered[-1]) + 1
 
-    for j in range(lo, hi):
-        # insertions sit before column j
-        if j in ins_seqs and j > lo:
-            seqs = ins_seqs[j]
-            if 2 * len(seqs) > int(cov[j]):
-                lens = sorted(len(s) for s in seqs)
-                med = lens[len(lens) // 2]
-                rep = min(seqs, key=lambda s: abs(len(s) - med))
-                out.append(rep.astype(np.int8))
-        if del_votes[j] * 2 > int(cov[j]):
+    # per-column base/deletion decisions, fully vectorized (the per-column
+    # Python loop dominated the assembly stage at genome scale: loci x
+    # polish rounds x ~14kb backbones)
+    votes = base_votes[lo:hi]
+    bb = backbone[lo:hi].astype(np.int64)
+    col = np.arange(hi - lo)
+    best = votes.argmax(axis=1)
+    # tie goes to the backbone base; no votes at all keeps the backbone
+    best = np.where(votes[col, best] == votes[col, bb], bb, best)
+    best = np.where(votes.sum(axis=1) == 0, bb, best).astype(np.int8)
+    keep = ~(del_votes[lo:hi] * 2 > cov[lo:hi])
+
+    # insertion events (before column j), majority-gated like the loop form
+    events: List[Tuple[int, np.ndarray]] = []
+    for j in sorted(ins_seqs):
+        if not (lo < j < hi):
             continue
-        votes = base_votes[j]
-        if votes.sum() == 0:
-            out.append(backbone[j:j + 1])
-            continue
-        best = int(np.argmax(votes))
-        # tie goes to the backbone base
-        if votes[best] == votes[backbone[j]]:
-            best = int(backbone[j])
-        out.append(np.array([best], dtype=np.int8))
-    if not out:
-        return np.zeros(0, dtype=np.int8)
-    return np.concatenate(out).astype(np.int8)
+        seqs = ins_seqs[j]
+        if 2 * len(seqs) > int(cov[j]):
+            lens = sorted(len(s) for s in seqs)
+            med = lens[len(lens) // 2]
+            rep = min(seqs, key=lambda s: abs(len(s) - med))
+            events.append((j, rep.astype(np.int8)))
+
+    parts: List[np.ndarray] = []
+    prev = lo
+    for j, ins in events + [(hi, None)]:
+        m = keep[prev - lo:j - lo]
+        parts.append(best[prev - lo:j - lo][m])
+        if ins is not None:
+            parts.append(ins)
+        prev = j
+    out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
+    return out.astype(np.int8)
 
 
 def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
