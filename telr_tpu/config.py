@@ -132,6 +132,11 @@ class LiftoverConfig:
     nearby_ref_threshold: int = 5000   # TELR_liftover.py:289
     single_flank_ref_dist: int = 5     # TELR_liftover.py:856,917
     max_ref_gap: int = 20000           # TELR_liftover.py:697
+    # junction-true gap on '-'-strand contigs (the reference's swapped
+    # get_coord invocation negates it there — TELR_liftover.py:269 vs
+    # :555 — silently dropping eroded-tip calls and never extracting
+    # '-'-contig TSDs); False reproduces the reference byte-for-byte
+    strand_aware_gap: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

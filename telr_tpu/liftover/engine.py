@@ -57,10 +57,22 @@ def _choose_new_size(size_ref: float, size_old: float, size_new: float) -> bool:
     return size_ref - size_old > size_ref - size_new
 
 
-def _effective_coord(start_5p, end_5p, start_3p, end_3p, strand):
-    """The reference's get_coord as actually invoked (swapped args)."""
+def _effective_coord(start_5p, end_5p, start_3p, end_3p, strand,
+                     strand_aware=False):
+    """The reference's get_coord as actually invoked (swapped args).
+
+    The reference defines get_coord(start_3p, end_3p, start_5p, end_5p)
+    but calls it with the 5p coords first (TELR_liftover.py:269 vs :555),
+    so on '-'-strand contigs the computed gap is the NEGATION of the true
+    junction gap: a TSD overlap of T reads as gap=+T (TSD never
+    extracted) and an eroded-tip gap of G reads as an overlap of G (call
+    silently dropped when G > flank_overlap_max).  strand_aware=True
+    computes the junction-true gap on '-' contigs instead;
+    strand_aware=False reproduces the reference byte-for-byte."""
     if strand == "+":
         start, end = end_5p, start_3p
+    elif strand_aware:
+        start, end = end_3p, start_5p
     else:
         start, end = start_5p, end_3p
     gap = end - start
@@ -225,7 +237,8 @@ def lift_annotation(
                 lift_chrom = h5.tchrom
                 flank_strand = h5.strand
                 lift_start, lift_end, lift_gap = _effective_coord(
-                    h5.tstart, h5.tend, h3.tstart, h3.tend, flank_strand)
+                    h5.tstart, h5.tend, h3.tstart, h3.tend, flank_strand,
+                    strand_aware=cfg.strand_aware_gap)
                 lift_strand = "+" if flank_strand == strand else "-"
                 lift_entry = {
                     "type": None,

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from telr_tpu.config import ASM10, LiftoverConfig
-from telr_tpu.io.seqs import SeqDict, Sequence, decode
+from telr_tpu.io.seqs import SeqDict, Sequence, decode, revcomp_codes
 from telr_tpu.kernels.mapper import Aligner
 from telr_tpu.liftover.engine import (check_nearby_ref, lift_annotation,
                                       liftover)
@@ -126,6 +126,69 @@ def test_nearby_ref_te_makes_reference(ref, te):
     far = Intervals.from_rows([("chrT", 15_000, 15_500, "fam", ".", "+")],
                               ("family", "score", "strand"))
     assert check_nearby_ref("chrT", 4500, 5000, "fam", "+", far) is None
+
+
+def test_minus_strand_contig_tsd(ref, te):
+    """'-'-strand contig with a TSD: the reference's swapped get_coord args
+    negate the junction gap on '-' contigs (TELR_liftover.py:269 vs :555),
+    so the TSD overlap reads as a positive gap and is never extracted.
+    strand_aware_gap=True computes the junction-true gap and recovers it;
+    strand_aware_gap=False reproduces the reference (call kept, no TSD)."""
+    import dataclasses
+
+    r = ref["chrT"].codes
+    tsd = 10
+    base = np.concatenate([r[4000:5000], te, r[5000 - tsd:6000]])
+    rc = revcomp_codes(base)
+    L = len(base)
+    te_s, te_e = L - 2000, L - 1000  # TE coords on the rc contig
+    name = "chrT_5000_5000"
+    contigs = SeqDict([Sequence(name, rc)])
+    entry = lift_annotation(
+        name, te_s, te_e, "fam", "-", contigs, ref, _aligner(ref), None, CFG)
+    rep = entry["report"]
+    assert rep["type"] == "non-reference"
+    assert rep["strand"] == "+"
+    assert abs(rep["start"] - (5000 - tsd)) <= 2
+    assert abs(rep["end"] - 5000) <= 2
+    assert rep["TSD_length"] is not None and abs(rep["TSD_length"] - tsd) <= 2
+
+    cfg_ref = dataclasses.replace(CFG, strand_aware_gap=False)
+    entry0 = lift_annotation(
+        name, te_s, te_e, "fam", "-", contigs, ref, _aligner(ref), None,
+        cfg_ref)
+    rep0 = entry0["report"]
+    assert rep0["type"] == "non-reference"   # call survives either way…
+    assert rep0["TSD_length"] in (None, 0)   # …but the TSD is invisible
+
+
+def test_minus_strand_contig_eroded_tip(ref, te):
+    """'-'-strand contig whose junction erodes G reference bases (G between
+    flank_gap_max and te_length/2): reference mode reads the gap as an
+    overlap of G > flank_overlap_max and silently drops the call
+    (TELR_liftover.py:631-633); strand_aware_gap=True keeps it."""
+    import dataclasses
+
+    r = ref["chrT"].codes
+    gap = 30
+    base = np.concatenate([r[4000:5000], te, r[5000 + gap:6000]])
+    rc = revcomp_codes(base)
+    L = len(base)
+    te_s, te_e = L - 2000, L - 1000
+    name = "chrT_5000_5000"
+    contigs = SeqDict([Sequence(name, rc)])
+    entry = lift_annotation(
+        name, te_s, te_e, "fam", "-", contigs, ref, _aligner(ref), None, CFG)
+    rep = entry["report"]
+    assert rep["type"] == "non-reference"
+    assert "exceeds threshold" in rep["comment"]
+    assert entry["num_hits"] == 1
+
+    cfg_ref = dataclasses.replace(CFG, strand_aware_gap=False)
+    entry0 = lift_annotation(
+        name, te_s, te_e, "fam", "-", contigs, ref, _aligner(ref), None,
+        cfg_ref)
+    assert entry0["report"]["type"] == "unlifted"
 
 
 def test_full_liftover_dedup(ref, te):
