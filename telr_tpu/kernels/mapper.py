@@ -364,6 +364,12 @@ def map_batch_grouped(
         if al.use_wavefront:
             for tag, (q, t, mode, width, guide) in pieces.items():
                 wave_w = max(128, (width or 256) // 2)
+                # quantize to {128, 512, 2048}: every distinct width is a
+                # separate kernel trace/compile AND a separate dispatch
+                # pool (chunking amortizes per pool); a wider band only
+                # adds reachable cells, never changes optimal alignments
+                wave_w = 128 if wave_w <= 128 else \
+                    512 if wave_w <= 512 else 2048
                 if len(q) == 0 or len(t) == 0:
                     piece_results[ji][tag] = dp.align_pair(q, t, mode,
                                                            params)

@@ -31,6 +31,19 @@ from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 STEP_TILE = 128
 
 
+def _sbucket(s: int) -> int:
+    """Step-budget bucket: geometric x4 from STEP_TILE.
+
+    Coarse on purpose — pad steps beyond a group's real step count never
+    execute (dynamic per-group loop bounds, see _kernel), so a larger
+    budget costs only meta/dirs memory while every distinct budget is a
+    separate ~2.5s kernel trace + compile."""
+    b = STEP_TILE
+    while b < s:
+        b *= 4
+    return b
+
+
 def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             width, n_tiles, mode, ma, mi, go, ge, amb, tb=False):
     """All DP state lives in VMEM scratch (mutated in place); the step loop
@@ -379,12 +392,7 @@ def prepare_wavefront_batch(
         else:
             scheds.append(None)
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
-    S_pad = max(-(-S_max // STEP_TILE) * STEP_TILE, STEP_TILE)
-    # power-of-two step budget: stable compile keys across ragged batches
-    Sb = STEP_TILE
-    while Sb < S_pad:
-        Sb *= 2
-    S_pad = Sb
+    S_pad = _sbucket(S_max)
 
     # compact wire format (see _call_kernel): packed step codes fit in 7
     # bits, window codes in 3, and only 4 scalar lanes are real — shipping
@@ -628,8 +636,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
-def _device_traceback_from_best(dirs, meta, scal, bs, bp, *, mode, S_max,
-                                NB, W):
+def _device_traceback_from_best(dirs, meta, scal, gout, bout, bs, bp, *,
+                                mode, S_max, NB, W):
     """Fused start-cell computation + traceback walk, all on device.
 
     Deriving (si, sj) from the kernel's (best_s, best_p) outputs here —
@@ -638,7 +646,12 @@ def _device_traceback_from_best(dirs, meta, scal, bs, bp, *, mode, S_max,
     jax's async dispatch (each tunnel round-trip costs ~1s).  The band
     walk m_s is reconstructed from the wire meta's drift bits (m0 +
     cumsum) rather than shipped: the host-built (n, S_pad+1) int32 m_arr
-    was as large a transfer as meta itself."""
+    was as large a transfer as meta itself.
+
+    Returns exactly TWO device arrays so the host pays two pulls per
+    chunk, not eight: `packed` — the (S_max/4, n) op codes bit-packed
+    four-per-byte (codes are 2 bits) — and `small`, the (7, n) int32
+    stack [gscore, best, fi, fj, bad, si, sj]."""
     n = meta.shape[0] * 8
     drift = (meta.astype(jnp.int32) & 1) * 2 - 1
     drift = drift.reshape(n, -1)
@@ -657,8 +670,26 @@ def _device_traceback_from_best(dirs, meta, scal, bs, bp, *, mode, S_max,
         # s*==0 means the empty alignment won: walk from (0,0)
         si = jnp.where(s_star == 0, 0, (s_star - o) // 2)
         sj = jnp.where(s_star == 0, 0, (s_star + o) // 2)
-    return _device_traceback(dirs, m_arr, si, sj, mode=mode, S_max=S_max,
-                             NB=NB, W=W) + (si, sj)
+    ops, fi, fj, bad = _device_traceback(dirs, m_arr, si, sj, mode=mode,
+                                         S_max=S_max, NB=NB, W=W)
+    packed = (ops[0::4] | (ops[1::4] << 2) | (ops[2::4] << 4)
+              | (ops[3::4] << 6))
+    small = jnp.stack([gout.reshape(-1), bout.reshape(-1),
+                       fi.astype(jnp.int32), fj.astype(jnp.int32),
+                       bad.astype(jnp.int32), si.astype(jnp.int32),
+                       sj.astype(jnp.int32)])
+    return packed, small
+
+
+def _unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of the 4-codes-per-byte packing."""
+    s4, n = packed.shape
+    ops = np.empty((s4 * 4, n), dtype=np.int8)
+    ops[0::4] = packed & 3
+    ops[1::4] = (packed >> 2) & 3
+    ops[2::4] = (packed >> 4) & 3
+    ops[3::4] = (packed >> 6) & 3
+    return ops
 
 
 def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
@@ -722,33 +753,38 @@ def wavefront_align(
     if device_tb is None:
         device_tb = (not interpret
                      and _jax.devices()[0].platform != "cpu")
-    # memory-bounded chunking: the dirs tensor costs ~S_pad x W bytes per
-    # pair; bound resident bytes so genome-scale batches can't blow HBM.
-    # Pairs are chunked in ascending length order so each chunk's step
-    # budget (max over the chunk, bucketed) stays as small as possible —
-    # mixed-length chunks would run every pair at the longest pair's
-    # padded step count.
+    # memory-bounded chunking: the dirs tensor costs ~8 x S_pad x W bytes
+    # per group; bound resident bytes so genome-scale batches can't blow
+    # HBM (and <= 1GB keeps the on-device traceback's flat gather indices
+    # within int32).  Pairs are chunked in ascending length order and each
+    # chunk is sized GREEDILY against ITS OWN bucketed step budget — a
+    # global budget from the longest pair would shatter a mostly-short
+    # batch into dozens of chunks, and every chunk costs two device
+    # round-trips (~1s each through the axon tunnel).
     order = sorted(range(len(pairs)),
                    key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
-    s_max = max(len(q) + len(t) for q, t in pairs)
-    s_pad_all = STEP_TILE
-    while s_pad_all < s_max:
-        s_pad_all *= 2
-    # memory-bounded chunking: the dirs tensor costs ~S_pad x W bytes per
-    # pair (<= 1GB so flat indices into dirs stay within int32 for the
-    # on-device traceback gathers).  Pairs are chunked in ascending length
-    # order so each chunk's step budget stays as small as possible.
     budget = 1 << 30
-    groups = max(1, budget // max(s_pad_all * width * 8, 1))
-    g_pow2 = 1
-    while g_pow2 * 2 <= groups:
-        g_pow2 *= 2
-    chunk = g_pow2 * 8  # power-of-two group count: no pad waste
+    max_chunk = 4096     # bounds host-side schedule building per chunk
+    chunks: List[List[int]] = []
+    cur: List[int] = []
+    for i in order:
+        sp = _sbucket(len(pairs[i][0]) + len(pairs[i][1]))
+        n_new = len(cur) + 1
+        g_new = 1
+        while g_new * 8 < n_new:
+            g_new *= 2
+        cost = g_new * 8 * sp * width  # dirs bytes at the padded G
+        if cur and (cost > budget or n_new > max_chunk):
+            chunks.append(cur)
+            cur = [i]
+        else:
+            cur.append(i)
+    if cur:
+        chunks.append(cur)
 
     if not device_tb:
         out: List[Optional[dict]] = [None] * len(pairs)
-        for c0 in range(0, len(order), chunk):
-            sel = order[c0:c0 + chunk]
+        for sel in chunks:
             cp = [pairs[i] for i in sel]
             cg = [guides[i] for i in sel] if guides is not None else None
             batch = prepare_wavefront_batch(cp, width, cg)
@@ -772,10 +808,11 @@ def wavefront_align(
 
     # device path: issue every chunk's kernel + fused traceback without
     # any host sync in between (start cells derive from best_s/best_p on
-    # device), then collect — chunks pipeline through async dispatch
+    # device), then collect — chunks pipeline through async dispatch, and
+    # each chunk ships back exactly TWO arrays (bit-packed op codes + the
+    # (7, n) scalar stack)
     issued = []
-    for c0 in range(0, len(order), chunk):
-        sel = order[c0:c0 + chunk]
+    for sel in chunks:
         cp = [pairs[i] for i in sel]
         cg = [guides[i] for i in sel] if guides is not None else None
         meta, init, scal, n_tiles, n, scheds, gmeta = \
@@ -789,21 +826,22 @@ def wavefront_align(
             meta, init, scal, gmeta, width=width, mode=mode,
             params_tuple=params.tuple(), n_tiles=n_tiles,
             interpret=interpret, tb=True)
-        ops, fi, fj, bad, si_d, sj_d = _device_traceback_from_best(
-            dirs, meta, scal, bs_d, bp_d, mode=mode, S_max=S_pad,
-            NB=S_pad // 8, W=width)
-        issued.append((sel, n, gout, bout, ops, fi, fj, bad, si_d, sj_d))
+        packed, small = _device_traceback_from_best(
+            dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
+            S_max=S_pad, NB=S_pad // 8, W=width)
+        issued.append((sel, n, packed, small))
 
     out = [None] * len(pairs)
-    for (sel, n, gout, bout, ops, fi, fj, bad, si_d, sj_d) in issued:
-        g = np.asarray(gout).reshape(-1)[:n]
-        b = np.asarray(bout).reshape(-1)[:n]
-        ops = np.asarray(ops)          # (S_max, n)
-        fi = np.asarray(fi)
-        fj = np.asarray(fj)
-        bad = np.asarray(bad)
-        si_a = np.asarray(si_d)
-        sj_a = np.asarray(sj_d)
+    for (sel, n, packed, small) in issued:
+        ops = _unpack_ops(np.asarray(packed))      # (S_max, n)
+        small = np.asarray(small)
+        g = small[0, :n]
+        b = small[1, :n]
+        fi = small[2]
+        fj = small[3]
+        bad = small[4]
+        si_a = small[5]
+        sj_a = small[6]
         for k in range(len(sel)):
             if bad[k]:
                 out[sel[k]] = {"score": NEG_INF, "cigar": [], "qstart": 0,

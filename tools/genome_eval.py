@@ -213,12 +213,15 @@ def score_calls(final_report, truth, window=100):
             tp += 1
     fn = len(truth) - tp
     fp = len(fp_calls)
+    fn_sites = [{k: t[k] for k in ("pos", "family", "zygosity", "tsd")
+                 if k in t}
+                for ti, t in enumerate(truth) if ti not in used]
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {"tp": tp, "fp": fp, "fn": fn, "precision": round(prec, 4),
             "recall": round(rec, 4), "f1": round(f1, 4),
-            "fp_calls": fp_calls[:20]}
+            "fp_calls": fp_calls[:20], "fn_sites": fn_sites[:20]}
 
 
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
