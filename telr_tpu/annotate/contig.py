@@ -116,16 +116,46 @@ def annotate_contigs(
     merged = merge_intervals(kept, dist=cfg.merge_dist,
                              collapse={"family": "distinct",
                                        "strand": "distinct"}, delim="|")
+    # per-family dist=0 sub-blocks of each merged annotation: the -d 10000
+    # rule (reference parity, TELR_te.py:199-230) can weld a novel
+    # insertion to a nearby reference TE copy present on the same contig
+    # (or even NESTED inside one — an insertion planted within a reference
+    # TE leaves the host family's alignment spanning straight across it);
+    # the welded interval then classifies "reference" at liftover (flank
+    # gap spans the reference copy) and the real insertion is lost.
+    # Record each family's own blocks so the liftover engine can re-lift
+    # them individually when that happens (component retry).
+    fam_blocks: List[Intervals] = []
+    fams = sorted({f for f in kept.cols.get("family", [])})
+    for fam in fams:
+        sub = kept.take([j for j in range(len(kept))
+                         if kept.cols["family"][j] == fam])
+        fam_blocks.append(merge_intervals(
+            sub, dist=0, collapse={"family": "distinct",
+                                   "strand": "distinct"}, delim="|"))
     ann_rows = []
     for i in range(len(merged)):
         strand = merged.cols["strand"][i]
         if strand not in ("+", "-"):
             strand = "."
+        comp = []
+        for blocks in fam_blocks:
+            for j in range(len(blocks)):
+                if (blocks.chrom[j] == merged.chrom[i]
+                        and int(blocks.start[j]) >= int(merged.start[i])
+                        and int(blocks.end[j]) <= int(merged.end[i])):
+                    bstr = blocks.cols["strand"][j]
+                    comp.append("%d-%d:%s:%s" % (
+                        int(blocks.start[j]), int(blocks.end[j]),
+                        blocks.cols["family"][j],
+                        bstr if bstr in ("+", "-") else "."))
+        comp.sort(key=lambda c: int(c.split("-", 1)[0]))
         ann_rows.append((merged.chrom[i], int(merged.start[i]),
                          int(merged.end[i]), merged.cols["family"][i],
-                         ".", strand))
-    annotation = Intervals.from_rows(ann_rows,
-                                     ("family", "score", "strand")).sort()
+                         ".", strand,
+                         ";".join(comp) if len(comp) > 1 else ""))
+    annotation = Intervals.from_rows(
+        ann_rows, ("family", "score", "strand", "components")).sort()
 
     # 5. TE sequences (bedtools getfasta naming)
     te_seqs = SeqDict()
@@ -162,6 +192,7 @@ def reannotate_families(
             if a.tname not in fams:
                 fams.append(a.tname)
         fam_by_contig[contig_name] = "|".join(sorted(fams))
+    comp_col = annotation.cols.get("components")
     rows = []
     for i in range(len(annotation)):
         cname = annotation.chrom[i]
@@ -169,5 +200,7 @@ def reannotate_families(
             continue
         rows.append((cname, int(annotation.start[i]), int(annotation.end[i]),
                      fam_by_contig[cname], ".",
-                     annotation.cols["strand"][i]))
-    return Intervals.from_rows(rows, ("family", "score", "strand"))
+                     annotation.cols["strand"][i],
+                     comp_col[i] if comp_col is not None else ""))
+    return Intervals.from_rows(rows,
+                               ("family", "score", "strand", "components"))

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import numpy as np
 
 from telr_tpu.config import AlignPreset, AssemblyConfig
-from telr_tpu.io.seqs import SeqDict, Sequence, revcomp_codes
+from telr_tpu.io.seqs import SeqDict, Sequence, encode, revcomp_codes
 from telr_tpu.kernels.mapper import Aligner, Alignment
 from telr_tpu.sv.detect import SVRecord
 from telr_tpu.utils.evallog import LociEval
@@ -143,7 +143,8 @@ def assemble_all(records: List[SVRecord], reads: SeqDict,
     extra_voters = extra_voters or {}
     return _assemble_batch(
         [(r.locus_name, r.reads, getattr(r, "spanning_reads", []) or [],
-          extra_voters.get(r.locus_name, []))
+          extra_voters.get(r.locus_name, []),
+          getattr(r, "stitched_backbone", "") or "")
          for r in records],
         reads, preset, cfg, loci_eval, use_wavefront=use_wavefront)
 
@@ -173,7 +174,9 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
             self.failed = False
 
     states: List[_State] = []
-    for locus_name, read_names, spanning, extras in items:
+    for item in items:
+        locus_name, read_names, spanning, extras = item[:4]
+        stitched = item[4] if len(item) > 4 else ""
         avail = [r for r in read_names if r in reads]
         if len(avail) < cfg.min_reads:
             loci_eval.add(locus_name, "local assembly failed")
@@ -184,9 +187,19 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
         # backbone pool: reads whose SV signature spans the insertion, when
         # known — a clipped junction read as backbone truncates the contig
         # inside the TE and costs a flank downstream
-        pool = [r for r in spanning if r in avail] or avail
-        lens = sorted(pool, key=lambda r: len(reads[r]))
-        backbone = reads[lens[len(lens) // 2]].codes
+        pool = [r for r in spanning if r in avail]
+        if pool:
+            lens = sorted(pool, key=lambda r: len(reads[r]))
+            backbone = reads[lens[len(lens) // 2]].codes
+        elif stitched:
+            # no real read spans the insertion, but SV detection stitched
+            # a synthetic spanning sequence from a jr/jl junction-read
+            # pair overlapping inside the TE body — polish rounds vote
+            # its errors away like any read backbone
+            backbone = encode(stitched)
+        else:
+            lens = sorted(avail, key=lambda r: len(reads[r]))
+            backbone = reads[lens[len(lens) // 2]].codes
         if len(backbone) > cfg.max_locus_span:
             backbone = backbone[: cfg.max_locus_span]
         states.append(_State(locus_name, avail, extras, backbone))

@@ -481,14 +481,55 @@ def liftover(
         if fa_3p is not None:
             queries[prefix + "_3p"] = fa_3p
     prefetched = ref_aligner.map_batch(queries) if queries else {}
+    comp_col = bed1.cols.get("components")
     data: List[dict] = []
     for i in range(len(bed1)):
-        data.append(lift_annotation(
+        entry = lift_annotation(
             bed1.chrom[i], int(bed1.start[i]), int(bed1.end[i]),
             bed1.cols["family"][i], bed1.cols["strand"][i],
             contigs, reference, ref_aligner, bed2, cfg,
             different_contig_name=different_contig_name,
-            telr_mode=telr_mode, prefetched=prefetched))
+            telr_mode=telr_mode, prefetched=prefetched)
+        data.append(entry)
+        rep = entry["report"]
+        # component retry: the annotate stage's merge -d 10000 can weld a
+        # novel insertion to a nearby reference TE copy on the same
+        # contig (or the host family's alignment can span straight across
+        # a nested insertion).  The welded interval then either
+        # classifies "reference" (flank gap spans the reference copy) or
+        # falls into single-flank rescue at a wrong position (annotation
+        # runs to the contig edge).  Whenever the joint lift is NOT a
+        # clean both-flank non-reference call, re-lift each per-family
+        # component block: blocks genuinely present in the reference
+        # re-classify as reference, a novel block lifts non-reference
+        # with both flanks and supersedes the joint call.
+        joint_clean = (rep is not None and rep["type"] == "non-reference"
+                       and rep.get("gap") is not None)
+        if comp_col is not None and comp_col[i] and not joint_clean:
+            got_comp = False
+            for comp in comp_col[i].split(";"):
+                coords, rest = comp.split(":", 1)
+                fam, _, cstrand = rest.rpartition(":")
+                cs, ce = (int(x) for x in coords.split("-"))
+                if cs == int(bed1.start[i]) and ce == int(bed1.end[i]):
+                    continue  # identical to the joint interval
+                sub = lift_annotation(
+                    bed1.chrom[i], cs, ce, fam, cstrand, contigs,
+                    reference, ref_aligner, bed2, cfg,
+                    different_contig_name=different_contig_name,
+                    telr_mode=telr_mode, prefetched=prefetched)
+                srep = sub["report"]
+                if (srep is not None and srep["type"] == "non-reference"
+                        and sub["num_hits"] == 1
+                        and srep.get("gap") is not None):
+                    data.append(sub)
+                    got_comp = True
+            if (got_comp and rep is not None
+                    and rep["type"] == "non-reference"):
+                # a clean component call supersedes the joint's
+                # single-flank rescue guess
+                entry["report"] = None
+                entry["num_hits"] = 0
 
     # cross-locus overlap dedup (TELR_liftover.py:1074-1141)
     rows = []

@@ -294,6 +294,22 @@ def run_pipeline(
             contigs, reference, contig_te, ref_te_bed, config.liftover,
             different_contig_name=config.different_contig_name,
             telr_mode=True, use_wavefront=config.use_wavefront)
+        # component-retry entries (liftover/engine.py) carry sub-interval
+        # coords the annotate stage never extracted; slice their TE
+        # sequences now so the output stage can look them up
+        from telr_tpu.io.seqs import Sequence as _Seq
+        for item in lift_report:
+            info = item.get("report")
+            if not info or info.get("type") != "non-reference":
+                continue
+            ins_name = item["genome1_coord"]
+            if ins_name in te_seqs:
+                continue
+            cname, _, coord = ins_name.rpartition(":")
+            if cname in contigs:
+                cs, ce = (int(x) for x in coord.split("-"))
+                te_seqs.add(_Seq(name=ins_name,
+                                 codes=contigs[cname].slice(cs, ce)))
 
     with timed("output"):
         final = generate_output(

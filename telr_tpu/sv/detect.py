@@ -69,6 +69,12 @@ class SVRecord:
     # "ins"); preferred as assembly backbones — junction-clipped reads
     # carry only one flank and would truncate the contig
     spanning_reads: List[str] = dataclasses.field(default_factory=list)
+    # synthetic spanning sequence for junction-evidence loci: the best
+    # jr read (left flank + insertion prefix) stitched to the best jl
+    # read (insertion suffix + right flank) at their TE-body overlap.
+    # Empty when two-sided evidence exists or the junction segments
+    # don't overlap (insertion longer than combined read coverage).
+    stitched_backbone: str = ""
 
     @property
     def locus_name(self) -> str:
@@ -202,8 +208,57 @@ def extract_signatures(store: AlignmentStore, reads: SeqDict,
     return sigs
 
 
+def _stitch_junctions(best_jr: InsSignature, best_jl: InsSignature,
+                      reads: SeqDict) -> Optional[Tuple[str, str]]:
+    """Overlap-stitch a junction pair into (insertion_seq, spanning_backbone).
+
+    A jr read carries [left flank | insertion prefix P], a jl read
+    [insertion suffix S | right flank]; when the insertion is shorter than
+    the combined read coverage, P's tail and S's head overlap inside the
+    TE body.  Aligning P against S locates that overlap, giving the TRUE
+    insertion sequence (the naive P+S concat duplicates the middle — it
+    mis-sizes the SV and mis-places the INS-seq->contig seeding) and a
+    synthetic read that spans the whole insertion flank-to-flank, which
+    local assembly can use as a backbone where no real read spans it.
+    Returns None when the segments don't overlap confidently."""
+    from telr_tpu.config import MAP_PB
+    from telr_tpu.io.seqs import Sequence, encode
+    from telr_tpu.kernels.mapper import Aligner
+
+    P = encode(best_jr.seq)
+    S = encode(best_jl.seq)
+    if len(P) < 200 or len(S) < 200:
+        return None
+    # read-vs-read overlap sees ~2x the read error rate; seed densely
+    ovl_preset = dataclasses.replace(MAP_PB, k=11, w=5,
+                                     min_chain_anchors=3)
+    aligner = Aligner(SeqDict([Sequence("S", S)]), ovl_preset)
+    hits = [a for a in aligner.map_seq("P", P) if a.strand == "+"]
+    if not hits:
+        return None
+    a = max(hits, key=lambda h: h.matches)
+    # demand a substantial overlap that reaches P's tail and S's head
+    if (a.matches < 200 or (len(P) - a.qend) > 150 or a.tstart > 150):
+        return None
+    ins = np.concatenate([P[:a.qend], S[a.tend:]])
+    r1 = reads[best_jr.read].codes if best_jr.read in reads else None
+    r2 = reads[best_jl.read].codes if best_jl.read in reads else None
+    if r1 is None or r2 is None:
+        return decode(ins), ""
+    if best_jr.strand == "-":
+        r1 = revcomp_codes(r1)
+    if best_jl.strand == "-":
+        r2 = revcomp_codes(r2)
+    # jr: P = r1[qpos:]; jl: S = r2[qpos-len(S):qpos]
+    s0 = best_jl.qpos - len(S)
+    backbone = np.concatenate([r1[:best_jr.qpos + a.qend],
+                               r2[s0 + a.tend:]])
+    return decode(ins), decode(backbone)
+
+
 def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
-                       cfg: SVConfig, sample_name: str = "sample"
+                       cfg: SVConfig, sample_name: str = "sample",
+                       reads: Optional[SeqDict] = None
                        ) -> List[SVRecord]:
     """Single-linkage clustering of signatures along the reference, then
     per-cluster record emission with Sniffles-style genotyping."""
@@ -280,18 +335,27 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
                     continue
             elif not two_sided:
                 continue
+        stitched_bb = ""
         if two_sided:
             lens = np.array([s.length for s in two_sided])
             rep = min(two_sided,
                       key=lambda s: abs(s.length - float(np.median(lens))))
             rep_seq = rep.seq
         else:
-            # stitch the longest insertion prefix (jr) + suffix (jl); the
-            # middle may be missing or duplicated — downstream only needs
-            # TE homology (te_filter) and a length scale
+            # stitch the longest insertion prefix (jr) + suffix (jl) at
+            # their TE-body overlap when one exists (true insertion seq +
+            # a synthetic spanning backbone for assembly); fall back to
+            # the naive concat — the middle may then be missing or
+            # duplicated, but downstream only needs TE homology
+            # (te_filter) and a length scale
             best_jr = max(jr, key=lambda s: s.length)
             best_jl = max(jl, key=lambda s: s.length)
-            rep_seq = best_jr.seq + best_jl.seq
+            st = (_stitch_junctions(best_jr, best_jl, reads)
+                  if reads is not None else None)
+            if st is not None:
+                rep_seq, stitched_bb = st
+            else:
+                rep_seq = best_jr.seq + best_jl.seq
             lens = np.array([len(rep_seq)])
         if np.median(lens) < cfg.min_ins_len:
             continue
@@ -329,7 +393,8 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
             coverage=dv, af=round(af, 6), sv_id=str(k), seq=rep_seq,
             reads=sorted(alt_reads), sv_filter="PASS", genotype=gt,
             ref_count=dr, alt_count=dv,
-            spanning_reads=sorted({s.read for s in two_sided})))
+            spanning_reads=sorted({s.read for s in two_sided}),
+            stitched_backbone=stitched_bb))
         k += 1
     return records
 
@@ -339,4 +404,4 @@ def detect_insertions(store: AlignmentStore, reads: SeqDict, cfg: SVConfig,
     """Full SV stage: signatures -> clusters -> records (replaces
     detect_sv + parse_vcf, reference TELR_sv.py:11-228)."""
     sigs = extract_signatures(store, reads, cfg)
-    return cluster_signatures(sigs, store, cfg, sample_name)
+    return cluster_signatures(sigs, store, cfg, sample_name, reads=reads)

@@ -191,6 +191,47 @@ def test_minus_strand_contig_eroded_tip(ref, te):
     assert entry0["report"]["type"] == "unlifted"
 
 
+def test_component_retry_recovers_welded_insertion(ref, te):
+    """A novel insertion welded (merge -d 10000) to a nearby reference TE
+    copy classifies 'reference' as a joint interval — the flank gap spans
+    the reference copy.  The component retry re-lifts each disjoint block
+    and recovers the novel insertion as non-reference."""
+    r = ref["chrT"].codes
+    rng = np.random.default_rng(21)
+    te_b = rng.integers(0, 4, 1_500).astype(np.int8)
+    # reference contains famB at 8000..9500
+    r2 = np.concatenate([r[:8000], te_b, r[8000:]])
+    ref2 = SeqDict([Sequence("chrT", r2)])
+    # contig: ref2[6000:7000] + novel famA(600) + ref2[7000:10500]
+    # (the tail includes the famB copy at contig coords 2600..4100)
+    te_a = te[:600]
+    contig_codes = np.concatenate([r2[6000:7000], te_a, r2[7000:10_500]])
+    name = "chrT_7000_7000"
+    contigs = SeqDict([Sequence(name, contig_codes)])
+    bed1 = Intervals.from_rows(
+        [(name, 1000, 4100, "famA|famB", ".", "+",
+          "1000-1600:famA:+;2600-4100:famB:+")],
+        ("family", "score", "strand", "components"))
+    data, nonref_bed, summary = liftover(contigs, ref2, bed1, None, CFG)
+    # the joint interval itself classifies reference
+    joint = [d for d in data if d["ID"].startswith(name + "_1000_4100")]
+    assert joint and joint[0]["report"]["type"] == "reference"
+    # the famA component is recovered as a non-reference call at ~7000
+    comps = [d for d in data if d["num_hits"] == 1
+             and d["report"]["type"] == "non-reference"]
+    assert len(comps) == 1
+    rep = comps[0]["report"]
+    assert rep["family"] == "famA"
+    assert abs(rep["start"] - 7000) <= 2
+    assert comps[0]["te_length"] == 600
+    # without the components column nothing is recovered (parity mode)
+    bed0 = Intervals.from_rows(
+        [(name, 1000, 4100, "famA|famB", ".", "+")],
+        ("family", "score", "strand"))
+    data0, _, _ = liftover(contigs, ref2, bed0, None, CFG)
+    assert not [d for d in data0 if d["num_hits"] == 1]
+
+
 def test_full_liftover_dedup(ref, te):
     """Two annotations lifting to overlapping coordinates: only the longest
     TE survives (string-max parity rule)."""

@@ -240,3 +240,43 @@ def test_rescue_does_not_perturb_spanned_locus(sim):
     a, b = base[0], recs[0]
     assert (a.start, a.end, a.length, a.reads) == (b.start, b.end,
                                                    b.length, b.reads)
+
+
+def test_junction_stitch_spanning_backbone():
+    """A long insertion covered only by junction reads: the jr/jl pair
+    overlapping inside the TE body is stitched into the true insertion
+    sequence plus a synthetic flank-to-flank spanning backbone."""
+    from telr_tpu.sv.detect import _stitch_junctions
+
+    rng = np.random.default_rng(23)
+    L = rng.integers(0, 4, 1000).astype(np.int8)
+    TE = rng.integers(0, 4, 3000).astype(np.int8)
+    R = rng.integers(0, 4, 1000).astype(np.int8)
+    r1 = np.concatenate([L[-800:], TE[:2500]])   # jr: flank + prefix
+    r2 = np.concatenate([TE[500:], R[:800]])     # jl: suffix + flank
+    reads = SeqDict([Sequence("r1", r1), Sequence("r2", r2)])
+    jr = InsSignature(tname="chrT", tpos=5000, length=2500, read="r1",
+                      qpos=800, strand="+", seq=decode(TE[:2500]),
+                      kind="jr")
+    jl = InsSignature(tname="chrT", tpos=5000, length=2500, read="r2",
+                      qpos=2500, strand="+", seq=decode(TE[500:]),
+                      kind="jl")
+    st = _stitch_junctions(jr, jl, reads)
+    assert st is not None
+    ins_seq, backbone = st
+    assert abs(len(ins_seq) - 3000) <= 20
+    assert ins_seq == decode(TE)
+    want_bb = decode(np.concatenate([L[-800:], TE, R[:800]]))
+    assert backbone == want_bb
+
+    # non-overlapping segments (insertion longer than combined coverage)
+    jr2 = InsSignature(tname="chrT", tpos=5000, length=1000, read="r1",
+                       qpos=800, strand="+", seq=decode(TE[:1000]),
+                       kind="jr")
+    jl2 = InsSignature(tname="chrT", tpos=5000, length=1000, read="r2",
+                       qpos=1000, strand="+", seq=decode(TE[2000:]),
+                       kind="jl")
+    assert _stitch_junctions(jr2, jl2, SeqDict([
+        Sequence("r1", np.concatenate([L[-800:], TE[:1000]])),
+        Sequence("r2", np.concatenate([TE[2000:], R[:800]])),
+    ])) is None
