@@ -29,6 +29,7 @@ from telr_tpu.kernels.dp import GLOBAL, EXTEND, LOCAL, NEG_INF, DPParams
 from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 
 STEP_TILE = 128
+N_ALT_RUNS = 8  # canonical-zigzag runs tracked per group (gmeta slots)
 
 
 def _sbucket(s: int) -> int:
@@ -124,8 +125,13 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
                   sc_s[:, 2:3], hb_s[:, :], sb_s[:, :], gb_s[:, :])
             for kk in range(UNROLL):
                 s_cur = s0 + kk + 1
+                # in the alt range the host guarantees the canonical-phase
+                # zigzag dbit(s) = s & 1; s0 = k*8 is even, so each
+                # unrolled position's drift sign is STATIC — half the
+                # predecessor rolls and every dbit select are elided
+                dbs = ((kk + 1) & 1 == 1) if alt else None
                 st, dirs = _one_step(mrolled[:, kk:kk + 1], st, s_cur,
-                                     masked, alt)
+                                     masked, alt, dbit_static=dbs)
                 if tb:
                     stage_s[kk * 8:(kk + 1) * 8, :] = dirs
             (h1_s[:, :], h2_s[:, :], i1_s[:, :], d1_s[:, :], qw_s[:, :],
@@ -139,42 +145,68 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             return 0
         return block_body
 
-    def _one_step(mcol, st, s_cur, masked, alt=False):
+    def _one_step(mcol, st, s_cur, masked, alt=False, dbit_static=None):
         (H1, H2, I1, D1, QW, TW, i0v, j0v, dprev, hbv, sbv, gbv) = st
-        dbit = (mcol & 1) == 1
-        d = jnp.where(dbit, 1, -1)
-        q_in = (mcol >> 1) & 7
-        t_in = (mcol >> 4) & 7
-
-        i0 = i0v + jnp.where(dbit, 0, 1)
-        j0 = j0v + jnp.where(dbit, 1, 0)
-
-        qw_new = jnp.where(lane == 0, q_in, pltpu.roll(QW, 1, axis=1))
-        QW = jnp.where(dbit, QW, qw_new)
-        tw_new = jnp.where(lane == W - 1, t_in,
-                           pltpu.roll(TW, W - 1, axis=1))
-        TW = jnp.where(dbit, tw_new, TW)
-
-        # pack pairs of arrays so two +-1 shifts share one roll; the seam
-        # lanes (W-1 and 2W-1 for left, 0 and W for right) are exactly the
-        # lanes the band edge must fill with -inf anyway
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * W), 1)
-        packL = jnp.concatenate([H1, I1], axis=1)
-        rolledL = pltpu.roll(packL, 2 * W - 1, axis=1)
-        rolledL = jnp.where((lane2 == W - 1) | (lane2 == 2 * W - 1), neg,
-                            rolledL)
-        H1L = rolledL[:, 0:W]
-        I1L = rolledL[:, W:2 * W]
-        packR = jnp.concatenate([H1, D1], axis=1)
-        rolledR = pltpu.roll(packR, 1, axis=1)
-        rolledR = jnp.where((lane2 == 0) | (lane2 == W), neg, rolledR)
-        H1R = rolledR[:, 0:W]
-        D1R = rolledR[:, W:2 * W]
 
-        Hv = jnp.where(dbit, H1L, H1)
-        Iv = jnp.where(dbit, I1L, I1)
-        Hh = jnp.where(dbit, H1, H1R)
-        Dh = jnp.where(dbit, D1, D1R)
+        def rollL2(a, b):
+            # pack a pair of arrays so two -1 shifts share one roll; the
+            # seam lanes (W-1 and 2W-1) are exactly the lanes the band
+            # edge must fill with -inf anyway
+            rolled = pltpu.roll(jnp.concatenate([a, b], axis=1),
+                                2 * W - 1, axis=1)
+            rolled = jnp.where((lane2 == W - 1) | (lane2 == 2 * W - 1),
+                               neg, rolled)
+            return rolled[:, 0:W], rolled[:, W:2 * W]
+
+        def rollR2(a, b):
+            rolled = pltpu.roll(jnp.concatenate([a, b], axis=1), 1, axis=1)
+            rolled = jnp.where((lane2 == 0) | (lane2 == W), neg, rolled)
+            return rolled[:, 0:W], rolled[:, W:2 * W]
+
+        if dbit_static is None:
+            dbit = (mcol & 1) == 1
+            d = jnp.where(dbit, 1, -1)
+            q_in = (mcol >> 1) & 7
+            t_in = (mcol >> 4) & 7
+
+            i0 = i0v + jnp.where(dbit, 0, 1)
+            j0 = j0v + jnp.where(dbit, 1, 0)
+
+            qw_new = jnp.where(lane == 0, q_in, pltpu.roll(QW, 1, axis=1))
+            QW = jnp.where(dbit, QW, qw_new)
+            tw_new = jnp.where(lane == W - 1, t_in,
+                               pltpu.roll(TW, W - 1, axis=1))
+            TW = jnp.where(dbit, tw_new, TW)
+
+            H1L, I1L = rollL2(H1, I1)
+            H1R, D1R = rollR2(H1, D1)
+            Hv = jnp.where(dbit, H1L, H1)
+            Iv = jnp.where(dbit, I1L, I1)
+            Hh = jnp.where(dbit, H1, H1R)
+            Dh = jnp.where(dbit, D1, D1R)
+        elif dbit_static:
+            # canonical-phase zigzag, odd step (drift +1): only the
+            # vertical predecessors shift — the horizontal roll, every
+            # dbit select, and the QW update are elided
+            d = jnp.ones_like(dprev)
+            i0 = i0v
+            j0 = j0v + 1
+            t_in = (mcol >> 4) & 7
+            TW = jnp.where(lane == W - 1, t_in,
+                           pltpu.roll(TW, W - 1, axis=1))
+            Hv, Iv = rollL2(H1, I1)
+            Hh, Dh = H1, D1
+        else:
+            # canonical-phase zigzag, even step (drift -1): only the
+            # horizontal predecessors shift
+            d = jnp.full_like(dprev, -1)
+            i0 = i0v + 1
+            j0 = j0v
+            q_in = (mcol >> 1) & 7
+            QW = jnp.where(lane == 0, q_in, pltpu.roll(QW, 1, axis=1))
+            Hv, Iv = H1, I1
+            Hh, Dh = rollR2(H1, D1)
         if alt:
             # alternating-drift specialization: the host guarantees every
             # row's drift flips sign step-to-step in this range, so
@@ -252,15 +284,20 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
     nb_end = gmeta_ref[g_id, 0]
     ib0 = gmeta_ref[g_id, 1]
     ib1 = gmeta_ref[g_id, 2]
-    ia0 = gmeta_ref[g_id, 4]
-    ia1 = gmeta_ref[g_id, 5]
     body_masked = make_block_body(True)
     body_interior = make_block_body(False)
     body_interior_alt = make_block_body(False, alt=True)
     jax.lax.fori_loop(0, ib0, body_masked, 0)
-    jax.lax.fori_loop(ib0, ia0, body_interior, 0)
-    jax.lax.fori_loop(ia0, ia1, body_interior_alt, 0)
-    jax.lax.fori_loop(ia1, ib1, body_interior, 0)
+    # up to N_ALT_RUNS canonical-zigzag runs interleaved with generic
+    # interior segments (slots 4..4+2N, empty runs padded to (ib1, ib1))
+    prev = ib0
+    for ri in range(N_ALT_RUNS):
+        lo = gmeta_ref[g_id, 4 + 2 * ri]
+        hi = gmeta_ref[g_id, 5 + 2 * ri]
+        jax.lax.fori_loop(prev, lo, body_interior, 0)
+        jax.lax.fori_loop(lo, hi, body_interior_alt, 0)
+        prev = hi
+    jax.lax.fori_loop(prev, ib1, body_interior, 0)
     jax.lax.fori_loop(ib1, nb_end, body_masked, 0)
     # single post-loop cross-lane reduction of the streaming accumulators
     gbest = jnp.max(gb_s[:, :], axis=1, keepdims=True)
@@ -406,7 +443,7 @@ def prepare_wavefront_batch(
     # -, alt_start, alt_end] in units of 8-step blocks (see _kernel
     # docstring); [alt_start, alt_end) additionally guarantees every row's
     # drift alternates, enabling the H2-shift-free step body
-    gmeta = np.zeros((G, 8), dtype=np.int32)
+    gmeta = np.zeros((G, 4 + 2 * N_ALT_RUNS), dtype=np.int32)
     lo_s = np.zeros(G * 8, dtype=np.int64)          # per-pair interior range
     hi_s = np.full(G * 8, 1 << 40, dtype=np.int64)
     alt_blocks = np.ones((G * 8, S_pad // 8), dtype=bool)
@@ -464,13 +501,25 @@ def prepare_wavefront_batch(
         else:
             lo_s[idx], hi_s[idx] = 1 << 40, 0
 
-        # alternating-drift step mask: step s (1-based) has dd==0 iff
-        # drift[s-1] != drift[s-2]; s=1 and pad steps are trivially safe
-        # (dd=+-1 resp. discarded rows)
+        # canonical-phase step mask: step s (1-based) follows the
+        # plateau-oscillation zigzag iff dbit(s) == s & 1 (plateau values
+        # are multiples of an even q, so the walk's parity fixes the
+        # phase globally — see wavefront.py _cluster_corrections).  A run
+        # of canonical steps is automatically alternating (dd == 0), and
+        # the kernel's alt body additionally hardwires each step's drift
+        # sign, so the phase test — not mere alternation — is required.
+        # Pad steps are marked safe: they never reach the interior range
+        # (ib1 is bounded by the shortest real row's interior end).
         alt_steps = np.ones(S_pad, dtype=bool)
+        dr = sched.drift[: sched.n_steps].astype(np.int32)
+        s_ax = np.arange(1, sched.n_steps + 1)
+        alt_steps[: sched.n_steps] = (dr > 0) == (s_ax & 1 == 1)
+        # dd == 0 must also hold against the step BEFORE the run (the
+        # previous step may close a same-sign ramp): require pairwise
+        # alternation too, which block-granular runs check across block
+        # boundaries
         if sched.n_steps > 1:
-            dr = sched.drift[: sched.n_steps]
-            alt_steps[1: sched.n_steps] = dr[1:] != dr[:-1]
+            alt_steps[1: sched.n_steps] &= dr[1:] != dr[:-1]
         alt_blocks[idx] = alt_steps.reshape(-1, 8).all(axis=1)
 
     for g in range(G):
@@ -490,27 +539,30 @@ def prepare_wavefront_batch(
         gmeta[g, 0] = nb_end
         gmeta[g, 1] = ib0
         gmeta[g, 2] = ib1
-        # longest contiguous run of blocks where EVERY row's drift
-        # alternates, inside the interior range -> H2-shift-free body
-        ia0 = ia1 = ib0
+        # contiguous runs of blocks where EVERY row follows the
+        # canonical zigzag, inside the interior range -> static-drift
+        # body.  Up to N_ALT_RUNS runs are kept (the longest ones, in
+        # position order); empty slots pad to (ib1, ib1) so the kernel's
+        # interleaved loops see monotone bounds.
+        runs = []
         if ib1 > ib0:
             ok = alt_blocks[g * 8: g * 8 + 8, ib0:ib1].all(axis=0)
-            best_len = run_len = 0
-            run_start = cur_start = 0
+            start = None
             for bi, flag in enumerate(ok):
-                if flag:
-                    if run_len == 0:
-                        cur_start = bi
-                    run_len += 1
-                    if run_len > best_len:
-                        best_len, run_start = run_len, cur_start
-                else:
-                    run_len = 0
-            if best_len > 0:
-                ia0 = ib0 + run_start
-                ia1 = ia0 + best_len
-        gmeta[g, 4] = ia0
-        gmeta[g, 5] = ia1
+                if flag and start is None:
+                    start = bi
+                elif not flag and start is not None:
+                    runs.append((ib0 + start, ib0 + bi))
+                    start = None
+            if start is not None:
+                runs.append((ib0 + start, ib1))
+        if len(runs) > N_ALT_RUNS:
+            runs = sorted(sorted(runs, key=lambda r: r[0] - r[1])
+                          [:N_ALT_RUNS])
+        runs += [(ib1, ib1)] * (N_ALT_RUNS - len(runs))
+        for ri, (lo, hi) in enumerate(runs):
+            gmeta[g, 4 + 2 * ri] = lo
+            gmeta[g, 5 + 2 * ri] = hi
 
     return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
 
