@@ -48,18 +48,22 @@ def consensus_vote(backbone: np.ndarray,
     more than two reads support the locus.
     """
     n = len(backbone)
-    base_votes = np.zeros((n, 5), dtype=np.int32)
     del_votes = np.zeros(n, dtype=np.int32)
     cov = np.zeros(n, dtype=np.int32)
     ins_seqs: Dict[int, List[np.ndarray]] = {}
 
+    # gather every M-run's (column, base) pairs, then vote with ONE
+    # bincount — scattered np.add.at per run was the stage's hottest
+    # host op (ufunc.at has no fast path)
+    mcols: List[np.ndarray] = []
+    mbases: List[np.ndarray] = []
     for a, codes in alignments:
         qc, qi = _oriented(a, codes)
         tj = a.tstart
         for op, ln in a.cigar:
             if op == "M":
-                idx = np.arange(tj, tj + ln)
-                np.add.at(base_votes, (idx, qc[qi:qi + ln].astype(np.int64)), 1)
+                mcols.append(np.arange(tj, tj + ln, dtype=np.int64))
+                mbases.append(qc[qi:qi + ln])
                 cov[tj:tj + ln] += 1
                 qi += ln
                 tj += ln
@@ -70,6 +74,13 @@ def consensus_vote(backbone: np.ndarray,
                 del_votes[tj:tj + ln] += 1
                 cov[tj:tj + ln] += 1
                 tj += ln
+    if mcols:
+        flat = (np.concatenate(mcols) * 5
+                + np.concatenate(mbases).astype(np.int64))
+        base_votes = np.bincount(flat, minlength=n * 5).reshape(n, 5)
+        base_votes = base_votes.astype(np.int32)
+    else:
+        base_votes = np.zeros((n, 5), dtype=np.int32)
 
     n_reads = len(alignments)
     # trim low-coverage tips

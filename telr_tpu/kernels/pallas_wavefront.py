@@ -747,15 +747,13 @@ def _unpack_ops(packed: np.ndarray) -> np.ndarray:
 def _rle(ops_rev: np.ndarray) -> List[Tuple[str, int]]:
     """Reverse + run-length-encode a pair's op codes (3 = skip)."""
     ops_rev = ops_rev[ops_rev != 3][::-1]
-    out: List[Tuple[str, int]] = []
     if ops_rev.size == 0:
-        return out
+        return []
     sym = np.array(["M", "D", "I"])
     change = np.nonzero(np.diff(ops_rev))[0] + 1
     bounds = np.concatenate([[0], change, [len(ops_rev)]])
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        out.append((str(sym[ops_rev[a]]), int(b - a)))
-    return out
+    return list(zip(sym[ops_rev[bounds[:-1]]].tolist(),
+                    np.diff(bounds).tolist()))
 
 
 def _start_cells(pairs, scheds, mode, g, b, bs, bp):
