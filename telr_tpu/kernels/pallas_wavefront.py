@@ -29,7 +29,8 @@ from telr_tpu.kernels.dp import GLOBAL, EXTEND, LOCAL, NEG_INF, DPParams
 from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 
 STEP_TILE = 128
-N_ALT_RUNS = 8  # canonical-zigzag runs tracked per group (gmeta slots)
+N_ALT_RUNS = 8       # canonical-zigzag runs tracked per interior region
+N_ALT_RUNS_EDGE = 2  # ... per masked prologue/epilogue region
 
 
 def _sbucket(s: int) -> int:
@@ -285,20 +286,28 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
     ib0 = gmeta_ref[g_id, 1]
     ib1 = gmeta_ref[g_id, 2]
     body_masked = make_block_body(True)
+    body_masked_alt = make_block_body(True, alt=True)
     body_interior = make_block_body(False)
     body_interior_alt = make_block_body(False, alt=True)
-    jax.lax.fori_loop(0, ib0, body_masked, 0)
-    # up to N_ALT_RUNS canonical-zigzag runs interleaved with generic
-    # interior segments (slots 4..4+2N, empty runs padded to (ib1, ib1))
-    prev = ib0
-    for ri in range(N_ALT_RUNS):
-        lo = gmeta_ref[g_id, 4 + 2 * ri]
-        hi = gmeta_ref[g_id, 5 + 2 * ri]
-        jax.lax.fori_loop(prev, lo, body_interior, 0)
-        jax.lax.fori_loop(lo, hi, body_interior_alt, 0)
-        prev = hi
-    jax.lax.fori_loop(prev, ib1, body_interior, 0)
-    jax.lax.fori_loop(ib1, nb_end, body_masked, 0)
+    # each region interleaves generic segments with canonical-zigzag runs
+    # (host guarantees runs never cross the ib0/ib1 region boundaries;
+    # empty runs pad to the region end, keeping bounds monotone)
+    slot = 4
+    prev = jnp.int32(0)
+    for region_end, body, body_alt in (
+            (ib0, body_masked, body_masked_alt),
+            (ib1, body_interior, body_interior_alt),
+            (nb_end, body_masked, body_masked_alt)):
+        n_runs = (N_ALT_RUNS if body is body_interior else N_ALT_RUNS_EDGE)
+        for ri in range(n_runs):
+            lo = gmeta_ref[g_id, slot]
+            hi = gmeta_ref[g_id, slot + 1]
+            slot += 2
+            jax.lax.fori_loop(prev, lo, body, 0)
+            jax.lax.fori_loop(lo, hi, body_alt, 0)
+            prev = hi
+        jax.lax.fori_loop(prev, region_end, body, 0)
+        prev = region_end
     # single post-loop cross-lane reduction of the streaming accumulators
     gbest = jnp.max(gb_s[:, :], axis=1, keepdims=True)
     if mode != GLOBAL:
@@ -443,7 +452,8 @@ def prepare_wavefront_batch(
     # -, alt_start, alt_end] in units of 8-step blocks (see _kernel
     # docstring); [alt_start, alt_end) additionally guarantees every row's
     # drift alternates, enabling the H2-shift-free step body
-    gmeta = np.zeros((G, 4 + 2 * N_ALT_RUNS), dtype=np.int32)
+    gmeta = np.zeros((G, 4 + 2 * (N_ALT_RUNS + 2 * N_ALT_RUNS_EDGE)),
+                     dtype=np.int32)
     lo_s = np.zeros(G * 8, dtype=np.int64)          # per-pair interior range
     hi_s = np.full(G * 8, 1 << 40, dtype=np.int64)
     alt_blocks = np.ones((G * 8, S_pad // 8), dtype=bool)
@@ -508,9 +518,9 @@ def prepare_wavefront_batch(
         # of canonical steps is automatically alternating (dd == 0), and
         # the kernel's alt body additionally hardwires each step's drift
         # sign, so the phase test — not mere alternation — is required.
-        # Pad steps are marked safe: they never reach the interior range
-        # (ib1 is bounded by the shortest real row's interior end).
-        alt_steps = np.ones(S_pad, dtype=bool)
+        # Pad steps (constant +1 drift) are excluded: runs may now extend
+        # into the masked epilogue, which executes real rows' pad steps.
+        alt_steps = np.zeros(S_pad, dtype=bool)
         dr = sched.drift[: sched.n_steps].astype(np.int32)
         s_ax = np.arange(1, sched.n_steps + 1)
         alt_steps[: sched.n_steps] = (dr > 0) == (s_ax & 1 == 1)
@@ -540,29 +550,37 @@ def prepare_wavefront_batch(
         gmeta[g, 1] = ib0
         gmeta[g, 2] = ib1
         # contiguous runs of blocks where EVERY row follows the
-        # canonical zigzag, inside the interior range -> static-drift
-        # body.  Up to N_ALT_RUNS runs are kept (the longest ones, in
-        # position order); empty slots pad to (ib1, ib1) so the kernel's
-        # interleaved loops see monotone bounds.
-        runs = []
-        if ib1 > ib0:
-            ok = alt_blocks[g * 8: g * 8 + 8, ib0:ib1].all(axis=0)
-            start = None
-            for bi, flag in enumerate(ok):
-                if flag and start is None:
-                    start = bi
-                elif not flag and start is not None:
-                    runs.append((ib0 + start, ib0 + bi))
-                    start = None
-            if start is not None:
-                runs.append((ib0 + start, ib1))
-        if len(runs) > N_ALT_RUNS:
-            runs = sorted(sorted(runs, key=lambda r: r[0] - r[1])
-                          [:N_ALT_RUNS])
-        runs += [(ib1, ib1)] * (N_ALT_RUNS - len(runs))
-        for ri, (lo, hi) in enumerate(runs):
-            gmeta[g, 4 + 2 * ri] = lo
-            gmeta[g, 5 + 2 * ri] = hi
+        # canonical zigzag -> static-drift bodies.  Runs are clipped at
+        # the ib0/ib1 region boundaries (the body flavor differs across
+        # them) and packed per region — up to N_ALT_RUNS(_EDGE) longest
+        # runs each, in position order, padded with empty (end, end)
+        # slots so the kernel's interleaved loops see monotone bounds.
+        ok = alt_blocks[g * 8: g * 8 + 8, :nb_end].all(axis=0)
+        all_runs = []
+        start = None
+        for bi, flag in enumerate(ok):
+            if flag and start is None:
+                start = bi
+            elif not flag and start is not None:
+                all_runs.append((start, bi))
+                start = None
+        if start is not None:
+            all_runs.append((start, nb_end))
+        slot = 4
+        for r_lo, r_hi, cap in ((0, ib0, N_ALT_RUNS_EDGE),
+                                (ib0, ib1, N_ALT_RUNS),
+                                (ib1, nb_end, N_ALT_RUNS_EDGE)):
+            runs = [(max(lo, r_lo), min(hi, r_hi))
+                    for lo, hi in all_runs
+                    if min(hi, r_hi) > max(lo, r_lo)]
+            if len(runs) > cap:
+                runs = sorted(sorted(runs, key=lambda r: r[0] - r[1])
+                              [:cap])
+            runs += [(r_hi, r_hi)] * (cap - len(runs))
+            for lo, hi in runs:
+                gmeta[g, slot] = lo
+                gmeta[g, slot + 1] = hi
+                slot += 2
 
     return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
 
