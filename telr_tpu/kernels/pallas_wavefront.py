@@ -249,8 +249,11 @@ def _kernel(gmeta_ref, meta_ref, init_ref, scal_ref, *refs,
             D = jnp.where(valid, D, neg)
             inner = valid & (i_vec >= 1) & (j_vec >= 1)
             Hm = jnp.where(inner, H, neg)
-            at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
-            gbv = jnp.where(at_end, jnp.maximum(gbv, H), gbv)
+            if mode == GLOBAL:
+                # end-cell capture feeds gscore, which only GLOBAL's
+                # score/traceback start consume — elided otherwise
+                at_end = inner & (i_vec == lq_v) & (j_vec == lt_v)
+                gbv = jnp.where(at_end, jnp.maximum(gbv, H), gbv)
         else:
             # interior: host guarantees every lane is a valid inner cell
             # and no end cell occurs — all masking elided
