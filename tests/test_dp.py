@@ -121,3 +121,41 @@ def test_empty_and_degenerate():
     q = encode("ACGT")
     assert dp.align_pair(q, np.zeros(0, np.int8), dp.GLOBAL, PAR)["cigar"] == [("I", 4)]
     assert dp.align_pair(np.zeros(0, np.int8), q, dp.GLOBAL, PAR)["cigar"] == []
+
+
+def test_gmeta_alt_runs_monotone():
+    """The per-group alt-run slots must be sorted, pairwise disjoint and
+    confined to their region — the kernel's interleaved fori_loops would
+    silently skip or re-execute step blocks otherwise."""
+    import numpy as np
+    from telr_tpu.kernels.pallas_wavefront import (
+        prepare_wavefront_batch, N_ALT_RUNS, N_ALT_RUNS_EDGE)
+
+    rng = np.random.default_rng(11)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        pairs = []
+        for k in range(11):  # ragged: 2 groups incl. dummy rows
+            lt = int(rng.integers(300, 3000))
+            t = rng.integers(0, 4, lt).astype(np.int8)
+            q = t[: max(50, lt - int(rng.integers(0, 200)))].copy()
+            idx = rng.integers(0, len(q), max(1, len(q) // 20))
+            q[idx] = rng.integers(0, 4, len(idx))
+            pairs.append((q, t))
+        meta, init, scal, n_tiles, n, scheds, gmeta = \
+            prepare_wavefront_batch(pairs, 128, None)
+        for g in range(gmeta.shape[0]):
+            nb_end, ib0, ib1 = gmeta[g, 0], gmeta[g, 1], gmeta[g, 2]
+            assert 0 <= ib0 <= ib1 <= nb_end
+            slot = 4
+            prev = 0
+            for r_lo, r_hi, cap in ((0, ib0, N_ALT_RUNS_EDGE),
+                                    (ib0, ib1, N_ALT_RUNS),
+                                    (ib1, nb_end, N_ALT_RUNS_EDGE)):
+                prev = max(prev, r_lo)
+                for _ in range(cap):
+                    lo, hi = gmeta[g, slot], gmeta[g, slot + 1]
+                    slot += 2
+                    assert prev <= lo <= hi <= r_hi, (g, prev, lo, hi, r_hi)
+                    prev = hi
+                prev = r_hi
