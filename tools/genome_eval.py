@@ -194,6 +194,7 @@ def _hom_truth_and_het(truth):
 def score_calls(final_report, truth, window=100):
     tp, used = 0, set()
     fp_calls = []
+    quality = []   # per-TP call-quality records
     for call in final_report:
         hit = None
         for ti, t in enumerate(truth):
@@ -211,6 +212,19 @@ def score_calls(final_report, truth, window=100):
         else:
             used.add(hit)
             tp += 1
+            t = truth[hit]
+            te_len = len(call.get("te_sequence") or "")
+            gt = call.get("genotype")
+            quality.append({
+                "pos_err": int(min(abs(call["start"] - t["pos"]),
+                                   abs(call["end"] - t["pos"]))),
+                "len_err": abs(te_len - t["len"]) / t["len"],
+                "tsd_found": call.get("tsd_length") is not None,
+                "tsd_err": (abs(int(call["tsd_length"]) - t["tsd"])
+                            if call.get("tsd_length") is not None else None),
+                "zyg_ok": (gt == "1/1") == (t["zygosity"] == "hom"),
+                "strand_ok": call.get("strand") == t["strand"],
+            })
     fn = len(truth) - tp
     fp = len(fp_calls)
     fn_sites = [{k: t[k] for k in ("pos", "family", "zygosity", "tsd")
@@ -219,9 +233,27 @@ def score_calls(final_report, truth, window=100):
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    qsum = {}
+    if quality:
+        tsd_errs = [q["tsd_err"] for q in quality if q["tsd_err"] is not None]
+        qsum = {
+            "median_pos_err": float(np.median([q["pos_err"]
+                                               for q in quality])),
+            "median_len_err": round(float(np.median(
+                [q["len_err"] for q in quality])), 4),
+            "tsd_recovered": round(sum(q["tsd_found"]
+                                       for q in quality) / len(quality), 4),
+            "tsd_exact": round(sum(1 for e in tsd_errs if e == 0)
+                               / max(1, len(tsd_errs)), 4),
+            "zygosity_acc": round(sum(q["zyg_ok"]
+                                      for q in quality) / len(quality), 4),
+            "strand_acc": round(sum(q["strand_ok"]
+                                    for q in quality) / len(quality), 4),
+        }
     return {"tp": tp, "fp": fp, "fn": fn, "precision": round(prec, 4),
             "recall": round(rec, 4), "f1": round(f1, 4),
-            "fp_calls": fp_calls[:20], "fn_sites": fn_sites[:20]}
+            "fp_calls": fp_calls[:20], "fn_sites": fn_sites[:20],
+            "call_quality": qsum}
 
 
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
