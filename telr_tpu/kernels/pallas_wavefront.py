@@ -30,7 +30,9 @@ from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 
 STEP_TILE = 128
 N_ALT_RUNS = 8       # canonical-zigzag runs tracked per interior region
-N_ALT_RUNS_EDGE = 2  # ... per masked prologue/epilogue region
+N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
+                     # band exceeds the matrix the interior is empty and
+                     # the whole schedule lands in one masked region)
 
 
 def _sbucket(s: int) -> int:
