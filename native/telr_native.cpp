@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <vector>
 #include <cmath>
+#include <thread>
 
 extern "C" {
 
@@ -241,6 +242,171 @@ void telr_chain_dp(const int64_t* q, const int64_t* t, int64_t n,
             parent[i] = best_j;
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// banded affine-gap DP (see telr_tpu/kernels/dp.py _banded_dp_single)
+// ---------------------------------------------------------------------------
+//
+// Bit-exact C++ replica of the XLA-scan banded DP — the host fallback
+// engine playing the role minimap2's SIMD ksw2 kernel plays in the
+// reference toolchain (reference TELR_alignment.py:31-82).  The TPU
+// compute path is the Pallas wavefront kernel; this serves CPU runs
+// (tests, CPU-only users) and tiny pieces where a device round-trip
+// costs more than the DP.
+
+static inline int32_t imax32(int32_t a, int32_t b) { return a > b ? a : b; }
+
+static void banded_dp_one(const int8_t* q, int32_t lq_pad,
+                          const int8_t* t, int32_t lt_pad,
+                          const int32_t* off, int32_t qlen, int32_t tlen,
+                          int32_t W, int32_t mode,
+                          int32_t ma, int32_t mi, int32_t go, int32_t ge,
+                          int32_t amb, uint8_t* dirs, int32_t* out5) {
+    const int32_t NEG = -(1 << 30);
+    const int32_t NEGH = NEG / 2;
+    const int32_t GLOBAL_M = 0, LOCAL_M = 2;
+    // padded carries: hp/ip[1..W] hold the previous row, NEG elsewhere,
+    // so the shifted reads hp[d_i+p] / hp[d_i+p+1] are branchless
+    // (d_i in [0, W] -> indexes in [0, 2W+1])
+    std::vector<int32_t> hp(2 * W + 2, NEG), ip(2 * W + 2, NEG);
+    std::vector<int32_t> i_cur(W), dg(W), hnod(W), hrow(W);
+    std::vector<uint8_t> iext(W);
+    // padded target codes: tb[x] = t[x-1] for 1<=x<=tlen else 5, sized so
+    // x = off_i + p never overruns (off <= tlen, p < W)
+    std::vector<int8_t> tb((int64_t)tlen + W + 2, 5);
+    int32_t treal = tlen < lt_pad ? tlen : lt_pad;
+    for (int32_t x = 0; x < treal; x++) tb[x + 1] = t[x];
+
+    // row 0 init
+    for (int32_t p = 0; p < W; p++) {
+        int64_t j0 = (int64_t)off[0] + p;
+        int32_t v;
+        if (mode == LOCAL_M) v = 0;
+        else v = (j0 == 0) ? 0 : (int32_t)(-(go + (int64_t)ge * j0));
+        hp[p + 1] = (j0 <= tlen) ? v : NEG;
+    }
+
+    int32_t best = (mode == GLOBAL_M) ? NEG : 0;
+    int32_t besti = 0, bestp = 0;
+    int32_t rows = lq_pad < qlen ? lq_pad : qlen;
+    const bool local = (mode == LOCAL_M);
+
+    for (int32_t i = 1; i <= rows; i++) {
+        int32_t qi = q[i - 1];
+        int32_t off_i = off[i];
+        int32_t d_i = off[i] - off[i - 1];
+        uint8_t* drow = dirs + (int64_t)(i - 1) * W;
+        const int32_t* hprev = hp.data() + d_i;   // hprev[p+1] = up, [p] = diag
+        const int32_t* iprev = ip.data() + d_i;
+        const int8_t* trow = tb.data() + off_i;   // trow[p] = code at j=off_i+p
+
+        // in-range band positions: j in [1, tlen] <=> p in [p_lo, p_hi]
+        int32_t p_lo = off_i >= 1 ? 0 : 1 - off_i;
+        int64_t ph = (int64_t)tlen - off_i;
+        int32_t p_hi = ph >= W ? W - 1 : (ph < -1 ? -1 : (int32_t)ph);
+
+        // branchless vector pass (ternaries compile to blends)
+        for (int32_t p = 0; p < W; p++) {
+            int32_t h_up = hprev[p + 1];
+            int32_t i_open = (h_up > NEGH) ? h_up - go - ge : NEG;
+            int32_t i_up = iprev[p + 1];
+            int32_t i_ext = (i_up > NEGH) ? i_up - ge : NEG;
+            int32_t ic = i_open > i_ext ? i_open : i_ext;
+            i_cur[p] = ic;
+            iext[p] = (uint8_t)(ic != i_open && ic > NEGH);
+            int32_t tc = trow[p];
+            int32_t s = (qi == 4 || tc >= 4) ? amb : (tc == qi ? ma : -mi);
+            int32_t h_diag = hprev[p];
+            int32_t d = (h_diag > NEGH) ? h_diag + s : NEG;
+            dg[p] = d;
+            int32_t hn = d > ic ? d : ic;
+            if (local && hn < 0) hn = 0;
+            hnod[p] = hn;
+        }
+        // out-of-range / j==0 fixes (at most two short tails + one cell)
+        for (int32_t p = 0; p < p_lo && p < W; p++) hnod[p] = NEG;
+        for (int32_t p = p_hi + 1; p < W; p++) if (p >= 0) hnod[p] = NEG;
+        if (off_i == 0) {
+            int32_t ic = i_cur[0];
+            hnod[0] = local ? imax32(ic, 0) : ic;
+        }
+
+        // horizontal affine (sequential running max) + emit
+        int32_t m_run = NEG;      // max over g[p'] for p' < p
+        int32_t rb = NEG, rbp = 0;
+        int32_t prev_hnod = NEG;  // hnod[p-1]
+        const bool has_zero = (off_i == 0);
+        for (int32_t p = 0; p < W; p++) {
+            bool at_zero = has_zero && p == 0;
+            bool in_t = (p >= p_lo && p <= p_hi);
+            int32_t dc = (m_run > NEGH)
+                             ? (int32_t)(m_run - (int64_t)ge * (p - 1)) : NEG;
+            if (at_zero || !in_t) dc = NEG;
+            int32_t open_cand = (p > 0 && prev_hnod > NEGH + go + ge)
+                                    ? prev_hnod - go - ge : NEG;
+            // NOTE: open_cand mirrors h_nod[p-1]-go-ge with -inf at p==0;
+            // the sentinel guard keeps the subtraction from drifting the
+            // -inf the XLA version materializes exactly
+            uint8_t dext = (dc != open_cand && dc > NEGH) ? 1 : 0;
+            int32_t hn = hnod[p];
+            int32_t hc = imax32(hn, dc);
+            uint8_t choice;
+            if (hc == dg[p]) choice = 0;
+            else if (hc == dc) choice = 1;
+            else choice = 2;
+            if (at_zero) choice = 2;
+            if (local && hc == 0) choice = 3;
+            drow[p] = (uint8_t)(choice | (dext ? 4 : 0) | (iext[p] ? 8 : 0));
+            if ((in_t || at_zero) && hc > rb) { rb = hc; rbp = p; }
+            // update running max with g[p] for the NEXT column
+            int32_t gp = (hn > NEGH)
+                             ? (int32_t)(hn + (int64_t)ge * p - go - ge) : NEG;
+            if (gp > m_run) m_run = gp;
+            prev_hnod = hn;
+            hrow[p] = hc;
+        }
+        if (rb > best) { best = rb; besti = i; bestp = rbp; }
+        // publish this row as the padded previous-row carries
+        memcpy(hp.data() + 1, hrow.data(), (size_t)W * sizeof(int32_t));
+        memcpy(ip.data() + 1, i_cur.data(), (size_t)W * sizeof(int32_t));
+    }
+
+    int64_t p_end = (int64_t)tlen - off[lq_pad];
+    out5[0] = (p_end >= 0 && p_end < W) ? hp[(int32_t)p_end + 1] : NEG;
+    out5[1] = best;
+    out5[2] = besti;
+    out5[3] = bestp;
+}
+
+void telr_banded_dp_batch(const int8_t* q, const int8_t* t,
+                          const int32_t* off, const int32_t* qlen,
+                          const int32_t* tlen, int32_t B, int32_t lq_pad,
+                          int32_t lt_pad, int32_t W, int32_t mode,
+                          int32_t ma, int32_t mi, int32_t go, int32_t ge,
+                          int32_t amb, uint8_t* dirs, int32_t* out /*B*4*/) {
+    auto run_range = [&](int32_t b0, int32_t b1) {
+        for (int32_t b = b0; b < b1; b++) {
+            banded_dp_one(q + (int64_t)b * lq_pad, lq_pad,
+                          t + (int64_t)b * lt_pad, lt_pad,
+                          off + (int64_t)b * (lq_pad + 1), qlen[b], tlen[b],
+                          W, mode, ma, mi, go, ge, amb,
+                          dirs + (int64_t)b * lq_pad * W,
+                          out + (int64_t)b * 4);
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int32_t nthr = (int32_t)(hw ? hw : 1);
+    if (nthr > B) nthr = B;
+    if (nthr <= 1 || B < 2) { run_range(0, B); return; }
+    std::vector<std::thread> pool;
+    int32_t per = (B + nthr - 1) / nthr;
+    for (int32_t k = 0; k < nthr; k++) {
+        int32_t b0 = k * per, b1 = b0 + per < B ? b0 + per : B;
+        if (b0 >= b1) break;
+        pool.emplace_back(run_range, b0, b1);
+    }
+    for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -60,6 +60,13 @@ def load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         # older .so without the chaining DP; callers fall back to numpy
         pass
+    try:
+        i32 = ctypes.c_int32
+        lib.telr_banded_dp_batch.argtypes = (
+            [ctypes.c_void_p] * 5 + [i32] * 10 + [ctypes.c_void_p] * 2)
+        lib.telr_banded_dp_batch.restype = None
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -126,3 +133,30 @@ def minimizers(codes: np.ndarray, k: int, w: int
                               strand.ctypes.data)
     return (pos[:cnt].copy(), hsh[:cnt].copy(),
             strand[:cnt].astype(np.int64))
+
+
+def has_banded_dp() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_banded_dp_batch")
+
+
+def banded_dp_batch(q, t, off, qlen, tlen, *, width, mode, params_tuple):
+    """Native drop-in for kernels.dp.banded_dp_batch (bit-exact recurrence;
+    dirs rows beyond each pair's qlen are left zero — traceback never
+    reads them).  Returns numpy (dirs, gscore, best, besti, bestp)."""
+    lib = load()
+    ma, mi, go, ge, amb = params_tuple
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    off = np.ascontiguousarray(off, dtype=np.int32)
+    qlen = np.ascontiguousarray(qlen, dtype=np.int32)
+    tlen = np.ascontiguousarray(tlen, dtype=np.int32)
+    B, lq_pad = q.shape
+    lt_pad = t.shape[1]
+    dirs = np.zeros((B, lq_pad, width), dtype=np.uint8)
+    out = np.empty((B, 4), dtype=np.int32)
+    lib.telr_banded_dp_batch(
+        q.ctypes.data, t.ctypes.data, off.ctypes.data, qlen.ctypes.data,
+        tlen.ctypes.data, B, lq_pad, lt_pad, width, mode,
+        ma, mi, go, ge, amb, dirs.ctypes.data, out.ctypes.data)
+    return dirs, out[:, 0], out[:, 1], out[:, 2], out[:, 3]

@@ -515,7 +515,8 @@ def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
     if kind == "quick":
         return payload
     q_pad, t_pad, off_pad, lq, lt, width = payload
-    dirs, gscore, best, besti, bestp = banded_dp_batch(
+    run = _native_dp() or banded_dp_batch
+    dirs, gscore, best, besti, bestp = run(
         q_pad[None], t_pad[None], off_pad[None],
         np.array([lq], np.int32), np.array([lt], np.int32),
         width=width, mode=mode, params_tuple=params.tuple())
@@ -526,6 +527,20 @@ def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
 # cap on dirs bytes (B * Lq * W) per launch; bounds device/host memory
 _MAX_BATCH_CELLS = 1 << 26
 _MAX_BATCH = 256
+
+
+def _native_dp():
+    """The C++ banded-DP batch entry (native/telr_native.cpp), or None.
+
+    Bit-exact with banded_dp_batch; preferred on the host-call paths
+    because it pays neither XLA trace/compile per shape bucket nor (on a
+    tunneled TPU backend) a device round-trip per launch.  Disable with
+    TELR_NATIVE_DP=0."""
+    import os
+    if os.environ.get("TELR_NATIVE_DP", "1") == "0":
+        return None
+    from telr_tpu.io import native
+    return native.banded_dp_batch if native.has_banded_dp() else None
 
 
 def align_pairs(items, runner=None, want_cigar: bool = True):
@@ -554,9 +569,14 @@ def align_pairs(items, runner=None, want_cigar: bool = True):
         key = (mode, w, len(q_pad), len(t_pad), params.tuple())
         groups.setdefault(key, []).append((i, q_pad, t_pad, off_pad, lq, lt))
 
-    run = runner if runner is not None else banded_dp_batch
+    native = _native_dp() if runner is None else None
+    run = runner if runner is not None else (native or banded_dp_batch)
     for (mode, w, lq_b, lt_b, ptuple), jobs in groups.items():
-        if runner is None and len(jobs) < 16:
+        if native is not None:
+            # native C++ path: no compile keys to manage — one exact-size
+            # batch per group, bounded only by dirs memory
+            chunk = min(_MAX_BATCH, max(1, _MAX_BATCH_CELLS // (lq_b * w)))
+        elif runner is None and len(jobs) < 16:
             # small group on the single-device path: B=1 per piece reuses
             # ONE compiled graph per shape bucket (batching B would
             # multiply compile keys; XLA's scan compile dominates
@@ -569,10 +589,13 @@ def align_pairs(items, runner=None, want_cigar: bool = True):
             chunk = min(_MAX_BATCH, max(1, _MAX_BATCH_CELLS // (lq_b * w)))
         for c0 in range(0, len(jobs), chunk):
             part = jobs[c0:c0 + chunk]
-            # B bucketed to powers of 4 -> few distinct compile keys
-            B = 1
-            while B < len(part):
-                B *= 4
+            if native is not None:
+                B = len(part)
+            else:
+                # B bucketed to powers of 4 -> few distinct compile keys
+                B = 1
+                while B < len(part):
+                    B *= 4
             qb = np.full((B, lq_b), 4, dtype=np.int8)
             tb = np.full((B, lt_b), 4, dtype=np.int8)
             ob = np.zeros((B, lq_b + 1), dtype=np.int32)

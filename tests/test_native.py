@@ -50,3 +50,39 @@ def test_minimizer_parity(n):
     assert np.array_equal(got[0], want[0])
     assert np.array_equal(got[1], want[1])
     assert np.array_equal(got[2], want[2])
+
+
+def test_native_banded_dp_parity():
+    """The C++ banded DP must be bit-exact with the XLA scan: scores,
+    best-cell outputs and every direction byte within each pair's real
+    rows (pad rows are never walked)."""
+    import numpy as np
+    from telr_tpu.kernels import dp
+    from telr_tpu.io import native
+
+    if not native.has_banded_dp():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        lq = int(rng.integers(1, 300))
+        lt = int(rng.integers(1, 400))
+        W = min(int(rng.choice([64, 128])), dp._bucket(lt + 1))
+        q = rng.integers(0, 5, lq).astype(np.int8)
+        t = rng.integers(0, 5, lt).astype(np.int8)
+        off = dp.make_band_offsets(lq, lt, W)
+        lqb, ltb = dp._bucket(lq), dp._bucket(lt)
+        qp = np.full(lqb, 4, np.int8); qp[:lq] = q
+        tp = np.full(ltb, 4, np.int8); tp[:lt] = t
+        op = np.full(lqb + 1, off[-1], np.int32); op[:len(off)] = off
+        for mode in (dp.GLOBAL, dp.EXTEND, dp.LOCAL):
+            args = (qp[None], tp[None], op[None],
+                    np.array([lq], np.int32), np.array([lt], np.int32))
+            kw = dict(width=W, mode=mode,
+                      params_tuple=dp.DPParams().tuple())
+            ref = [np.asarray(x) for x in dp.banded_dp_batch(*args, **kw)]
+            nat = native.banded_dp_batch(*args, **kw)
+            for r, n in zip(ref[1:], nat[1:]):
+                assert int(r[0]) == int(n[0]), (trial, mode)
+            assert np.array_equal(ref[0][0][:lq], nat[0][0][:lq]), \
+                (trial, mode)
