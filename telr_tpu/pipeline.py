@@ -284,8 +284,16 @@ def run_pipeline(
                               use_wavefront=config.use_wavefront, mesh=mesh)
 
     with timed("ref_repeatmask"):
-        ref_te_bed = repeatmask_reference(
-            reference, library, use_wavefront=config.use_wavefront)
+        # checkpointed: depends only on (reference, library), and the
+        # whole-genome homology sweep is among the most expensive stages
+        # at scale (the reference RepeatMasks the full genome every run,
+        # TELR_te.py:391-433)
+        if ckpt.has("ref_repeatmask"):
+            ref_te_bed = ckpt.load_intervals("ref_repeatmask")
+        else:
+            ref_te_bed = repeatmask_reference(
+                reference, library, use_wavefront=config.use_wavefront)
+            ckpt.save_intervals("ref_repeatmask", ref_te_bed)
         if len(ref_te_bed) == 0:
             ref_te_bed = None
 
