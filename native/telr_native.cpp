@@ -379,6 +379,82 @@ static void banded_dp_one(const int8_t* q, int32_t lq_pad,
     out5[3] = bestp;
 }
 
+// Host-side traceback walk (see telr_tpu/kernels/dp.py traceback):
+// follows direction bytes from (si, sj) back to the alignment start,
+// emitting run-length-encoded ops (0=M, 1=D, 2=I) in REVERSE order
+// (caller reverses).  Returns the number of runs, or -1 if the walk
+// leaves the band.  end cell is written to ij_out[0..1].
+int64_t telr_traceback(const uint8_t* dirs, int32_t W,
+                       const int32_t* off, int32_t si, int32_t sj,
+                       int32_t mode, uint8_t* ops_out, int32_t* lens_out,
+                       int64_t max_ops, int32_t* ij_out) {
+    const int32_t LOCAL_M = 2;
+    int64_t n = 0;
+    int32_t i = si, j = sj;
+    int32_t state = 0;  // 0=H 1=D 2=I
+    auto push = [&](uint8_t op) -> bool {
+        if (n > 0 && ops_out[n - 1] == op) { lens_out[n - 1]++; return true; }
+        if (n >= max_ops) return false;
+        ops_out[n] = op; lens_out[n] = 1; n++;
+        return true;
+    };
+    while (i > 0 || j > 0) {
+        if (i == 0) {
+            if (!push(1)) return -1;   // leading D run along row 0
+            j--;
+            continue;
+        }
+        int32_t p = j - off[i];
+        if (p < 0 || p >= W) return -1;
+        uint8_t byte = dirs[(int64_t)(i - 1) * W + p];
+        uint8_t choice = byte & 3;
+        if (state == 0) {
+            if (mode == LOCAL_M && choice == 3) break;
+            if (j == 0 || choice == 2) { state = 2; continue; }
+            if (choice == 0) {
+                if (!push(0)) return -1;
+                i--; j--;
+                continue;
+            }
+            if (choice == 1) { state = 1; continue; }
+            return -1;  // STOP outside LOCAL
+        } else if (state == 1) {
+            if (!push(1)) return -1;
+            j--;
+            if (!(byte & 4)) state = 0;
+        } else {
+            if (!push(2)) return -1;
+            i--;
+            if (!(byte & 8)) state = 0;
+        }
+    }
+    ij_out[0] = i; ij_out[1] = j;
+    return n;
+}
+
+// matches along a cigar path (PAF residue matches; plain equality, the
+// same semantics as kernels/dp.py count_matches)
+int64_t telr_count_matches(const int8_t* q, int64_t lq,
+                           const int8_t* t, int64_t lt,
+                           const uint8_t* ops, const int32_t* lens,
+                           int64_t n, int64_t qstart, int64_t tstart) {
+    int64_t qi = qstart, tj = tstart, m = 0;
+    for (int64_t k = 0; k < n; k++) {
+        int32_t ln = lens[k];
+        if (ops[k] == 0) {
+            for (int32_t x = 0; x < ln; x++) {
+                if (qi + x < lq && tj + x < lt && q[qi + x] == t[tj + x]) m++;
+            }
+            qi += ln; tj += ln;
+        } else if (ops[k] == 2) {
+            qi += ln;
+        } else {
+            tj += ln;
+        }
+    }
+    return m;
+}
+
 void telr_banded_dp_batch(const int8_t* q, const int8_t* t,
                           const int32_t* off, const int32_t* qlen,
                           const int32_t* tlen, int32_t B, int32_t lq_pad,

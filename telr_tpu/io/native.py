@@ -65,6 +65,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.telr_banded_dp_batch.argtypes = (
             [ctypes.c_void_p] * 5 + [i32] * 10 + [ctypes.c_void_p] * 2)
         lib.telr_banded_dp_batch.restype = None
+        lib.telr_traceback.argtypes = [
+            ctypes.c_void_p, i32, ctypes.c_void_p, i32, i32, i32,
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_void_p]
+        lib.telr_traceback.restype = i64
+        lib.telr_count_matches.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_void_p, i64,
+            ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64]
+        lib.telr_count_matches.restype = i64
     except AttributeError:
         pass
     _LIB = lib
@@ -160,3 +168,49 @@ def banded_dp_batch(q, t, off, qlen, tlen, *, width, mode, params_tuple):
         tlen.ctypes.data, B, lq_pad, lt_pad, width, mode,
         ma, mi, go, ge, amb, dirs.ctypes.data, out.ctypes.data)
     return dirs, out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
+_OPS = np.array(["M", "D", "I"])
+
+
+def traceback(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
+              mode: int):
+    """Native traceback walk; same contract as kernels.dp.traceback.
+    Returns (cigar, end_i, end_j) or raises RuntimeError on band escape."""
+    lib = load()
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
+    off = np.ascontiguousarray(off, dtype=np.int32)
+    cap = si + sj + 2
+    ops = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int32)
+    ij = np.empty(2, dtype=np.int32)
+    n = lib.telr_traceback(dirs.ctypes.data, dirs.shape[1], off.ctypes.data,
+                           si, sj, mode, ops.ctypes.data, lens.ctypes.data,
+                           cap, ij.ctypes.data)
+    if n < 0:
+        raise RuntimeError(f"traceback left the band from ({si},{sj})")
+    cigar = list(zip(_OPS[ops[:n]][::-1].tolist(),
+                     lens[:n][::-1].tolist()))
+    return cigar, int(ij[0]), int(ij[1])
+
+
+_OP_CODE = {"M": 0, "D": 1, "I": 2}
+
+
+def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0,
+                  tstart=0) -> int:
+    lib = load()
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    n = len(cigar)
+    ops = np.fromiter((_OP_CODE[op] for op, _ in cigar), dtype=np.uint8,
+                      count=n)
+    lens = np.fromiter((ln for _, ln in cigar), dtype=np.int32, count=n)
+    return int(lib.telr_count_matches(
+        q.ctypes.data, len(q), t.ctypes.data, len(t),
+        ops.ctypes.data, lens.ctypes.data, n, qstart, tstart))
+
+
+def has_traceback() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_traceback")

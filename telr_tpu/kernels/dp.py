@@ -382,6 +382,9 @@ def traceback(dirs: np.ndarray, off: np.ndarray, start_i: int, start_j: int,
     start.  Returns (cigar ops as (op, len) in forward order, end_i, end_j)
     where (end_i, end_j) is the matrix cell where the alignment begins
     (always (0,0) for GLOBAL/EXTEND)."""
+    if _native_walks():
+        from telr_tpu.io import native
+        return native.traceback(dirs, off, int(start_i), int(start_j), mode)
     ops: List[Tuple[str, int]] = []
     i, j = int(start_i), int(start_j)
 
@@ -529,6 +532,16 @@ _MAX_BATCH_CELLS = 1 << 26
 _MAX_BATCH = 256
 
 
+def _native_walks() -> bool:
+    """True when the C++ traceback/count_matches walks are available (and
+    not disabled via TELR_NATIVE_DP=0)."""
+    import os
+    if os.environ.get("TELR_NATIVE_DP", "1") == "0":
+        return False
+    from telr_tpu.io import native
+    return native.has_traceback()
+
+
 def _native_dp():
     """The C++ banded-DP batch entry (native/telr_native.cpp), or None.
 
@@ -632,6 +645,9 @@ def cigar_stats(cigar: List[Tuple[str, int]]) -> Tuple[int, int, int, int]:
 
 def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0, tstart=0) -> int:
     """Number of exact residue matches along a cigar path (PAF col 10)."""
+    if _native_walks():
+        from telr_tpu.io import native
+        return native.count_matches(q, t, cigar, qstart, tstart)
     qi, tj = qstart, tstart
     matches = 0
     for op, ln in cigar:
