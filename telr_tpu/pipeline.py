@@ -264,7 +264,8 @@ def run_pipeline(
                 extra_voters=extra_voters)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})
-    if records and stage_seconds.get("assembly", 0) > 0:
+    if (records and stage_seconds.get("assembly", 0) > 0
+            and "assembly" not in restored_stages):
         logger.info("assembly throughput: %.3f loci/s (%d loci)",
                     len(records) / stage_seconds["assembly"], len(records))
 

@@ -237,8 +237,14 @@ def _stitch_junctions(best_jr: InsSignature, best_jl: InsSignature,
     if not hits:
         return None
     a = max(hits, key=lambda h: h.matches)
-    # demand a substantial overlap that reaches P's tail and S's head
-    if (a.matches < 200 or (len(P) - a.qend) > 150 or a.tstart > 150):
+    # a valid junction overlap starts at one segment's head (S's TE
+    # suffix begins inside P, or — when the jl read reaches back across
+    # the whole insertion — P's head inside S) and reaches one segment's
+    # tail on the right (P may legitimately run past S's end when the jr
+    # read spans the TE into the right flank)
+    left_ok = a.tstart <= 150 or a.qstart <= 150
+    right_ok = (len(P) - a.qend) <= 150 or (len(S) - a.tend) <= 150
+    if a.matches < 200 or not (left_ok and right_ok):
         return None
     ins = np.concatenate([P[:a.qend], S[a.tend:]])
     r1 = reads[best_jr.read].codes if best_jr.read in reads else None
@@ -249,10 +255,16 @@ def _stitch_junctions(best_jr: InsSignature, best_jl: InsSignature,
         r1 = revcomp_codes(r1)
     if best_jl.strand == "-":
         r2 = revcomp_codes(r2)
-    # jr: P = r1[qpos:]; jl: S = r2[qpos-len(S):qpos]
-    s0 = best_jl.qpos - len(S)
-    backbone = np.concatenate([r1[:best_jr.qpos + a.qend],
-                               r2[s0 + a.tend:]])
+    # in the strand-ORIENTED frame, P always runs to the jr read's end
+    # and S always starts at the jl read's head (extract_signatures cuts
+    # them that way), so the junction positions are len-derived — the
+    # stored sig.qpos is a raw-strand coordinate and lies on '-' reads.
+    # The 20kb signature cap would break the length identity; reads that
+    # long don't occur here, and the guard below drops them if they do.
+    if len(P) >= 20000 or len(S) >= 20000:
+        return decode(ins), ""
+    j1 = len(r1) - len(P)
+    backbone = np.concatenate([r1[:j1 + a.qend], r2[a.tend:]])
     return decode(ins), decode(backbone)
 
 

@@ -280,3 +280,47 @@ def test_junction_stitch_spanning_backbone():
         Sequence("r1", np.concatenate([L[-800:], TE[:1000]])),
         Sequence("r2", np.concatenate([TE[2000:], R[:800]])),
     ])) is None
+
+
+def test_junction_stitch_minus_strand_and_spanning_jr():
+    """Stitch correctness when (a) the jr read is '-'-strand (sig.qpos is
+    a raw-strand coordinate — junction must be length-derived) and (b)
+    the jr read spans past the TE into the right flank (the overlap then
+    legitimately ends at S's tail, not P's)."""
+    from telr_tpu.sv.detect import _stitch_junctions
+
+    rng = np.random.default_rng(31)
+    L = rng.integers(0, 4, 1000).astype(np.int8)
+    TE = rng.integers(0, 4, 3000).astype(np.int8)
+    R = rng.integers(0, 4, 1000).astype(np.int8)
+
+    # (a) '-'-strand jr read
+    r1_fwd = np.concatenate([L[-800:], TE[:2500]])
+    r1 = revcomp_codes(r1_fwd)
+    r2 = np.concatenate([TE[500:], R[:800]])
+    reads = SeqDict([Sequence("r1", r1), Sequence("r2", r2)])
+    jr = InsSignature(tname="chrT", tpos=5000, length=2500, read="r1",
+                      qpos=123, strand="-", seq=decode(TE[:2500]),
+                      kind="jr")
+    jl = InsSignature(tname="chrT", tpos=5000, length=2500, read="r2",
+                      qpos=2500, strand="+", seq=decode(TE[500:]),
+                      kind="jl")
+    st = _stitch_junctions(jr, jl, reads)
+    assert st is not None
+    ins_seq, backbone = st
+    assert ins_seq == decode(TE)
+    assert backbone == decode(np.concatenate([L[-800:], TE, R[:800]]))
+
+    # (b) jr read spans the whole TE plus right flank
+    r1b = np.concatenate([L[-800:], TE, R[:300]])
+    reads_b = SeqDict([Sequence("r1", r1b), Sequence("r2", r2)])
+    jrb = InsSignature(tname="chrT", tpos=5000, length=3300, read="r1",
+                       qpos=800, strand="+", seq=decode(r1b[800:]),
+                       kind="jr")
+    st = _stitch_junctions(jrb, jl, reads_b)
+    assert st is not None
+    ins_seq, backbone = st
+    # insertion = P[:qend] + S[tend:]; the overlap ends at S's tail, so
+    # the stitched insertion is the TE (within alignment-tie slop)
+    assert abs(len(ins_seq) - 3000) <= 20
+    assert backbone == decode(np.concatenate([L[-800:], TE, R[:800]]))
