@@ -473,6 +473,10 @@ void telr_banded_dp_batch(const int8_t* q, const int8_t* t,
     };
     unsigned hw = std::thread::hardware_concurrency();
     int32_t nthr = (int32_t)(hw ? hw : 1);
+    // under a multiprocess read fan-out every worker runs its own DP
+    // batches; TELR_DP_THREADS=1 avoids oversubscription
+    const char* env = getenv("TELR_DP_THREADS");
+    if (env && atoi(env) > 0 && atoi(env) < nthr) nthr = atoi(env);
     if (nthr > B) nthr = B;
     if (nthr <= 1 || B < 2) { run_range(0, B); return; }
     std::vector<std::thread> pool;

@@ -177,7 +177,7 @@ class TELRConfig:
                                    # aligner-derived labels
     different_contig_name: bool = False
     keep_files: bool = False
-    threads: int = 1               # host-side worker hint (IO only)
+    threads: int = 1               # stage-1 mapping worker processes (-t)
     use_wavefront: bool = False    # route mapper DPs through the Pallas
                                    # wavefront kernel (TPU execution path)
 

@@ -330,6 +330,61 @@ class Aligner:
         return self.map_batch({s.name: s.codes for s in queries},
                               max_hits=max_hits)
 
+    # ------------------------------------------------------------------
+    def map_batch_parallel(self, queries: Dict[str, np.ndarray],
+                           processes: int,
+                           max_hits: Optional[int] = None
+                           ) -> Dict[str, List[Alignment]]:
+        """map_batch fanned out over forked worker processes (the -t
+        thread parity of the reference's aligner thread passthrough,
+        TELR_alignment.py:31-51).
+
+        Host-side planning (seeding/chaining) is GIL-bound Python, so
+        process parallelism is the only way to scale it; the index is
+        inherited copy-on-write by the fork, never pickled.  Per-read
+        results are independent, so output is identical to map_batch.
+        Falls back to map_batch under a device path (wavefront/mesh own
+        the batching there) or single-process requests."""
+        if (processes <= 1 or len(queries) < 2 * processes
+                or self.use_wavefront or self.mesh is not None):
+            return self.map_batch(queries, max_hits=max_hits)
+        import multiprocessing as mp
+        import os
+        names = list(queries)
+        n = len(names)
+        chunk = -(-n // processes)
+        bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+        global _PAR_STATE
+        _PAR_STATE = (self, names, queries, max_hits)
+        old = os.environ.get("TELR_DP_THREADS")
+        os.environ["TELR_DP_THREADS"] = "1"  # workers: no DP-thread fanout
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(len(bounds)) as pool:
+                parts = pool.map(_par_map_worker, bounds)
+        finally:
+            _PAR_STATE = None
+            if old is None:
+                os.environ.pop("TELR_DP_THREADS", None)
+            else:
+                os.environ["TELR_DP_THREADS"] = old
+        out: Dict[str, List[Alignment]] = {}
+        for (lo, hi), part in zip(bounds, parts):
+            for name, alns in zip(names[lo:hi], part):
+                out[name] = alns
+        return out
+
+
+_PAR_STATE = None
+
+
+def _par_map_worker(bounds):
+    lo, hi = bounds
+    aligner, names, queries, max_hits = _PAR_STATE
+    sub = {n: queries[n] for n in names[lo:hi]}
+    res = aligner.map_batch(sub, max_hits=max_hits)
+    return [res.get(n, []) for n in names[lo:hi]]
+
 
 def map_batch_grouped(
     groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],

@@ -204,7 +204,8 @@ def run_pipeline(
             aligner = Aligner(reference, stage1_preset,
                               use_wavefront=config.use_wavefront,
                               mesh=mesh)
-            result = aligner.map_batch({s.name: s.codes for s in reads})
+            result = aligner.map_batch_parallel(
+                {s.name: s.codes for s in reads}, config.threads)
             alns = [a for hits in result.values() for a in hits]
             store = AlignmentStore(alns)
             ckpt.save_alignments("alignment", store)

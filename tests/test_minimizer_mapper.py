@@ -116,3 +116,31 @@ def test_mapper_split_on_large_deletion():
     assert len(spans) >= 2
     assert abs(spans[0][0] - 2_000) < 50 and abs(spans[0][1] - 5_000) < 50
     assert abs(spans[1][0] - 10_000) < 50 and abs(spans[1][1] - 13_000) < 50
+
+
+def test_map_batch_parallel_identity():
+    """Forked multiprocess mapping must return exactly map_batch's
+    alignments (per-read independence), in the same order."""
+    import numpy as np
+    from telr_tpu.config import MAP_PB
+    from telr_tpu.io.seqs import SeqDict, Sequence
+    from telr_tpu.kernels.mapper import Aligner
+
+    rng = np.random.default_rng(41)
+    ref = rng.integers(0, 4, 30_000).astype(np.int8)
+    al = Aligner(SeqDict([Sequence("chrT", ref)]), MAP_PB)
+    batch = {}
+    for i in range(12):
+        s = int(rng.integers(0, 25_000))
+        q = ref[s:s + 3000].copy()
+        idx = rng.integers(0, len(q), 150)
+        q[idx] = rng.integers(0, 4, 150)
+        batch[f"r{i}"] = q
+    r1 = al.map_batch(batch)
+    r2 = al.map_batch_parallel(batch, 3)
+    assert set(r1) == set(r2)
+    for n in batch:
+        assert len(r1[n]) == len(r2[n])
+        for a, b in zip(r1[n], r2[n]):
+            assert (a.tstart, a.tend, a.score, a.mapq, a.cigar) == \
+                   (b.tstart, b.tend, b.score, b.mapq, b.cigar)
