@@ -258,7 +258,7 @@ def score_calls(final_report, truth, window=100):
 
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
-             workdir=None, read_len=9000):
+             workdir=None, read_len=9000, threads=1):
     from telr_tpu.config import TELRConfig, SVConfig
     from telr_tpu.io.fasta import write_fasta
     from telr_tpu.io.seqs import SeqDict, Sequence
@@ -288,7 +288,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                 lib_fa)
 
     cfg = TELRConfig(sv=SVConfig(min_support=max(3, coverage // 8)),
-                     use_wavefront=use_wavefront)
+                     use_wavefront=use_wavefront, threads=threads)
     t0 = time.time()
     res = run_pipeline(reads_fa, ref_fa, lib_fa,
                        os.path.join(workdir, "out"), cfg,
@@ -344,6 +344,7 @@ if __name__ == "__main__":
     ap.add_argument("--wavefront", action="store_true")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--read-len", type=int, default=9000)
+    ap.add_argument("--threads", type=int, default=1)
     a = ap.parse_args()
     run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
-             a.workdir, read_len=a.read_len)
+             a.workdir, read_len=a.read_len, threads=a.threads)
