@@ -103,3 +103,47 @@ def test_three_insertions_recovered(dataset):
     assert hom1["allele_frequency"] is None or hom1["allele_frequency"] > 0.7
     if het["allele_frequency"] is not None:
         assert 0.3 < het["allele_frequency"] < 0.95
+
+
+def test_two_chromosomes(tmp_path):
+    """Insertions of the SAME family on two chromosomes: per-chrom flank
+    filtering, cross-chrom homology, and per-chrom dedup must all hold
+    (real runs are multi-chromosome; the evals are single-chrom)."""
+    rng = np.random.default_rng(123)
+    G = 60_000
+    refA = rng.integers(0, 4, G).astype(np.int8)
+    refB = rng.integers(0, 4, G).astype(np.int8)
+    te = rng.integers(0, 4, 1_500).astype(np.int8)
+
+    def with_ins(ref, pos):
+        return np.concatenate([ref[:pos], te, ref[pos:]])
+
+    hapA = with_ins(refA, 25_000)
+    hapB = with_ins(refB, 40_000)
+    reads = []
+    k = 0
+    readlen = 10_000
+    for hap in (hapA, hapB):
+        for rep in range(2):
+            for start in range(0, len(hap) - readlen, 3_000):
+                seq = _noisy(rng, hap[start:start + readlen])
+                if k % 3 == 2:
+                    seq = revcomp_codes(seq)
+                reads.append(Sequence(f"read{k}", seq))
+                k += 1
+    d = tmp_path
+    write_fasta([Sequence("chrA", refA), Sequence("chrB", refB)],
+                str(d / "ref.fa"))
+    write_fasta(reads, str(d / "reads.fa"))
+    write_fasta([Sequence("gamma", te)], str(d / "lib.fa"))
+
+    cfg = TELRConfig(sv=SVConfig(min_support=3),
+                     assembly=AssemblyConfig(polish_iterations=1))
+    res = run_pipeline(str(d / "reads.fa"), str(d / "ref.fa"),
+                       str(d / "lib.fa"), str(d / "out"), config=cfg)
+    assert len(res.final_report) == 2, (res.final_report, res.summary)
+    by_chrom = {r["chrom"]: r for r in res.final_report}
+    assert set(by_chrom) == {"chrA", "chrB"}
+    assert abs(by_chrom["chrA"]["start"] - 25_000) < 100
+    assert abs(by_chrom["chrB"]["start"] - 40_000) < 100
+    assert all(r["family"] == "gamma" for r in res.final_report)
