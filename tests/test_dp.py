@@ -159,3 +159,39 @@ def test_gmeta_alt_runs_monotone():
                     assert prev <= lo <= hi <= r_hi, (g, prev, lo, hi, r_hi)
                     prev = hi
                 prev = r_hi
+
+
+def test_wavefront_static_drift_parity_ragged():
+    """Ragged group with near-identical pairs: most blocks run the
+    static-drift (canonical zigzag) masked/interior bodies.  Scores must
+    match the numpy oracle in every mode (interpret-mode Mosaic)."""
+    import numpy as np
+    from telr_tpu.kernels import dp as dpmod
+    from telr_tpu.kernels.pallas_wavefront import (prepare_wavefront_batch,
+                                                   run_wavefront_batch)
+    from telr_tpu.kernels.wavefront import build_schedule, numpy_wavefront
+
+    rng = np.random.default_rng(77)
+    W = 128
+    pairs = []
+    for k in range(11):   # 2 groups, 5 dummy rows
+        lt = 700 + 60 * k
+        t = rng.integers(0, 4, lt).astype(np.int8)
+        q = t[: lt - (0 if k % 2 else 40)].copy()
+        idx = rng.integers(0, len(q), len(q) // 30)
+        q[idx] = rng.integers(0, 4, len(idx))
+        pairs.append((q, t))
+    batch = prepare_wavefront_batch(pairs, W, None)
+    gm = batch[6]
+    n_runs = (gm.shape[1] - 4) // 2
+    cov = sum(int(gm[g, 5 + 2 * i] - gm[g, 4 + 2 * i])
+              for g in range(gm.shape[0]) for i in range(n_runs))
+    assert cov > 0, "static-drift body not exercised"
+    params = dpmod.DPParams()
+    scheds = [build_schedule(q, t, W) for q, t in pairs]
+    for mode in (dpmod.GLOBAL, dpmod.EXTEND, dpmod.LOCAL):
+        g, b = run_wavefront_batch(batch, W, mode, params, interpret=True)
+        for i, (q, t) in enumerate(pairs):
+            gs, bs = numpy_wavefront(q, t, scheds[i], W, mode, params)
+            want, got = (gs, g[i]) if mode == dpmod.GLOBAL else (bs, b[i])
+            assert got == want, (mode, i, int(got), int(want))
