@@ -136,6 +136,20 @@ def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,
     return contigs[locus_name] if locus_name in passed else None
 
 
+def collect_extra_voters(records: List[SVRecord], store,
+                         window: int) -> Dict[str, List[str]]:
+    """Non-support reads overlapping each locus (the other haplotype +
+    flank-only reads); they polish flank columns to full local depth.
+    Shared by the pipeline and the standalone stage profiler."""
+    out: Dict[str, List[str]] = {}
+    for r in records:
+        support = set(r.reads)
+        near = {a.qname for a in store.fetch(
+            r.chrom, r.start - window, r.end + window) if a.primary}
+        out[r.locus_name] = sorted(near - support)
+    return out
+
+
 def assemble_all(records: List[SVRecord], reads: SeqDict,
                  preset: AlignPreset, cfg: AssemblyConfig,
                  loci_eval: LociEval,

@@ -28,14 +28,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from telr_tpu.dist.mesh import READS_AXIS
 from telr_tpu.kernels import dp
 
-_runner_cache: Dict[int, object] = {}
+# keyed by the Mesh itself (hashable by devices+axes);
+# id() keys can collide after a dead Mesh's id is reused
+_runner_cache: Dict[object, object] = {}
 
 
 def sharded_dp_runner(mesh: Mesh):
     """A drop-in for dp.banded_dp_batch that shards the batch dim over the
     mesh's "reads" axis (dirs stay batch-sharded; host gathers them during
     traceback)."""
-    key = id(mesh)
+    key = mesh
     cached = _runner_cache.get(key)
     if cached is not None:
         return cached
@@ -131,7 +133,7 @@ def mesh_coverage(mesh: Mesh, store, tname: str, length: int) -> np.ndarray:
     max_blocks = _bucket(max(nblocks, 1), quanta=(8, 16, 32, 64, 128, 256,
                                                   512, 1024, 2048))
     cov_bins = _bucket(length)
-    key = (id(mesh), cov_bins, max_blocks)
+    key = (mesh, cov_bins, max_blocks)
     step = _depth_cache.get(key)
     if step is None:
         step = make_depth_psum_step(mesh, cov_bins, max_blocks)

@@ -239,10 +239,25 @@ def write_bam(store: AlignmentStore, reads: SeqDict, path: str,
         body.write(nb)
         body.write(struct.pack("<i", targets[nm]))
     op_idx = {op: i for i, op in enumerate(_BAM_CIGAR_OPS)}
+    # exactly ONE record per read may be neither secondary nor
+    # supplementary (SAM spec): split reads carry several primary
+    # segments internally, so every primary beyond the best-scoring one
+    # is exported with the 0x800 supplementary flag
+    rep: Dict[str, int] = {}
+    for a in store.all():
+        if a.primary and (a.qname not in rep or a.score > rep[a.qname]):
+            rep[a.qname] = a.score
+    rep_used: set = set()
     for tname in store.targets():
         for a in store.fetch(tname, 0, targets.get(tname, 1 << 60)):
-            flag = (0x10 if a.strand == "-" else 0) | \
-                   (0 if a.primary else 0x100)
+            if not a.primary:
+                flag = 0x100
+            elif a.qname not in rep_used and a.score == rep[a.qname]:
+                rep_used.add(a.qname)
+                flag = 0
+            else:
+                flag = 0x800
+            flag |= 0x10 if a.strand == "-" else 0
             if a.strand == "-":
                 lead, tail = a.qlen - a.qend, a.qstart
             else:

@@ -345,8 +345,14 @@ class Aligner:
         results are independent, so output is identical to map_batch.
         Falls back to map_batch under a device path (wavefront/mesh own
         the batching there) or single-process requests."""
+        from telr_tpu.io import native
         if (processes <= 1 or len(queries) < 2 * processes
-                or self.use_wavefront or self.mesh is not None):
+                or self.use_wavefront or self.mesh is not None
+                # forked workers must stay off XLA: fork after jax init
+                # deadlocks, and the parent has usually initialized jax
+                # (e.g. resolving --wavefront auto).  With the native DP
+                # present the whole worker path is numpy + C++.
+                or not native.has_banded_dp()):
             return self.map_batch(queries, max_hits=max_hits)
         import multiprocessing as mp
         import os

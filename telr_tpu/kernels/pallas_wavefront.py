@@ -682,8 +682,14 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         iext = (byte & 8) != 0
 
         in_h = st == H
-        stop_now = in_h & (ch == 3) if mode == LOCAL else \
-            in_h & (ch == 3)  # boundary/STOP marker ends the walk
+        stop_now = in_h & (ch == 3)
+        if mode != LOCAL:
+            # a STOP byte mid-walk outside LOCAL means corrupted dirs —
+            # the host walker raises there; flag the pair instead of
+            # terminating silently (silent termination leaves fi/fj > 0,
+            # the lead I/D prepend then fabricates a consistent-looking
+            # cigar that passes the geometry check downstream)
+            bad = bad | (active & stop_now)
         do_m = in_h & (ch == 0)
         do_d = (in_h & (ch == 1)) | (st == D)
         do_i = (in_h & (ch == 2)) | (st == I)

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Set
 from telr_tpu.af.freq import estimate_af
 from telr_tpu.annotate.contig import annotate_contigs, reannotate_families
 from telr_tpu.annotate.repeatmask import repeatmask_reference
-from telr_tpu.assembly.local import assemble_all
+from telr_tpu.assembly.local import assemble_all, collect_extra_voters
 from telr_tpu.config import TELRConfig, default_config
 from telr_tpu.core.alignstore import AlignmentStore
 from telr_tpu.io.fasta import read_fasta, write_fasta
@@ -43,7 +43,7 @@ from telr_tpu.utils.evallog import LociEval
 logger = logging.getLogger("telr_tpu")
 
 
-def _redistribute_loci(mesh, records: List[SVRecord], reads: SeqDict
+def _redistribute_loci(mesh, records: List[SVRecord]
                        ) -> List[SVRecord]:
     """Route every (locus, read) pair through the device all-to-all to its
     locus' owner shard and rebuild each record's read list from what the
@@ -96,6 +96,30 @@ def _redistribute_loci(mesh, records: List[SVRecord], reads: SeqDict
     return records
 
 
+def _input_fingerprint(paths, config: TELRConfig) -> str:
+    """Content hash of the input files + the semantic config fields.
+
+    Execution knobs (threads, wavefront backend, keep_files) are
+    excluded on purpose: they must not invalidate checkpoints, because
+    both backends produce identical alignments and the knobs don't
+    change results."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for p in paths:
+        h.update(os.path.basename(p).encode())
+        with open(p, "rb") as f:
+            while True:
+                chunk = f.read(1 << 22)
+                if not chunk:
+                    break
+                h.update(chunk)
+    sem = (config.presets, config.sv, config.assembly, config.annotate,
+           config.af, config.liftover, config.minimap2_family,
+           config.different_contig_name, config.read_preset)
+    h.update(repr(sem).encode())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass
 class PipelineResult:
     sample_name: str
@@ -136,6 +160,15 @@ def run_pipeline(
     if sample_name is None:
         sample_name = os.path.splitext(os.path.basename(reads_path))[0]
     ckpt = Checkpointer(checkpoint_dir)
+    if checkpoint_dir:
+        # stage checkpoints are keyed by name only — fingerprint the
+        # inputs + semantic config so a rerun with different reads or
+        # thresholds can never silently resume stale results
+        fp = _input_fingerprint(
+            (reads_path, reference_path, library_path), config)
+        if not ckpt.validate_fingerprint(fp):
+            logger.warning("checkpoint inputs/config changed; existing "
+                           "checkpoints invalidated")
 
     logging.basicConfig(
         level=logging.INFO,
@@ -210,7 +243,8 @@ def run_pipeline(
             store = AlignmentStore(alns)
             ckpt.save_alignments("alignment", store)
 
-    if "alignment" in stage_seconds and stage_seconds["alignment"] > 0:
+    if ("alignment" in stage_seconds and stage_seconds["alignment"] > 0
+            and "alignment" not in restored_stages and not prealigned):
         n_bases = sum(len(s) for s in reads)
         logger.info(
             "alignment throughput: %.2f reads/s, %.3f Mbases/s "
@@ -240,7 +274,7 @@ def run_pipeline(
             # on its owner shard before batched assembly (SURVEY §2c); on a
             # single host this reorders the assembly batches into owner
             # order, with the pairs genuinely riding lax.all_to_all
-            records = _redistribute_loci(mesh, records, reads)
+            records = _redistribute_loci(mesh, records)
 
     with timed("assembly"):
         if ckpt.has("assembly"):
@@ -252,13 +286,8 @@ def run_pipeline(
             # non-support reads overlapping each locus polish the flank
             # columns to full local depth (the other haplotype + flank-only
             # reads; assemble_all guards against deletion-of-the-TE votes)
-            extra_voters = {}
-            for r in records:
-                support = set(r.reads)
-                near = {a.qname for a in store.fetch(
-                    r.chrom, r.start - config.assembly.window,
-                    r.end + config.assembly.window) if a.primary}
-                extra_voters[r.locus_name] = sorted(near - support)
+            extra_voters = collect_extra_voters(
+                records, store, config.assembly.window)
             contigs, passed = assemble_all(
                 records, reads, config.read_preset, config.assembly,
                 loci_eval, use_wavefront=config.use_wavefront,

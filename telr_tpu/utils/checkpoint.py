@@ -63,24 +63,48 @@ class Checkpointer:
     def _manifest_path(self) -> str:
         return os.path.join(self.dir, "MANIFEST.json")
 
-    def completed(self) -> List[str]:
+    def _read_manifest(self) -> dict:
         if not self.dir or not os.path.isfile(self._manifest_path()):
-            return []
+            return {"fingerprint": None, "stages": []}
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                data = json.load(f)
         except (json.JSONDecodeError, OSError):
             # a manifest predating atomic writes may be truncated; treat as
             # "nothing completed" rather than crashing the resume
-            return []
+            return {"fingerprint": None, "stages": []}
+        if isinstance(data, list):  # legacy format: bare stage list
+            return {"fingerprint": None, "stages": data}
+        return data
+
+    def completed(self) -> List[str]:
+        return self._read_manifest()["stages"]
+
+    def validate_fingerprint(self, fp: str) -> bool:
+        """Invalidate every checkpoint when the inputs/config changed.
+
+        Stage checkpoints are keyed by name only; resuming them against
+        different reads/reference/library or different semantic config
+        would silently produce wrong calls.  Stores `fp` on first use;
+        on mismatch the manifest is reset (stage files become orphans)
+        and False is returned so the caller can log it."""
+        if not self.dir:
+            return True
+        m = self._read_manifest()
+        if m["fingerprint"] == fp:
+            return True
+        fresh = m["fingerprint"] is None and not m["stages"]
+        _atomic_json(self._manifest_path(),
+                     {"fingerprint": fp, "stages": []})
+        return fresh
 
     def mark(self, stage: str) -> None:
         if not self.dir:
             return
-        done = self.completed()
-        if stage not in done:
-            done.append(stage)
-        _atomic_json(self._manifest_path(), done)
+        m = self._read_manifest()
+        if stage not in m["stages"]:
+            m["stages"].append(stage)
+        _atomic_json(self._manifest_path(), m)
 
     def has(self, stage: str) -> bool:
         return self.dir is not None and stage in self.completed()

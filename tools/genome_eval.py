@@ -91,8 +91,10 @@ def make_genome(size, library, rng, repeat_density=0.15):
 
 
 def plant_insertions(genome, library, n_ins, rng):
-    """Returns (alt_genome, truth list).  Insertions are near-intact TE
-    copies (0-5% divergence) with 4-12bp TSDs; ~40% heterozygous."""
+    """Returns the truth list (pos/family/strand/tsd/len/zygosity/te);
+    haplotype sequences are built later in simulate_reads.  Insertions
+    are near-intact TE copies (0-5% divergence) with 4-12bp TSDs;
+    ~40% heterozygous."""
     size = len(genome)
     fams = list(library)
     sites = np.sort(rng.choice(
@@ -185,10 +187,6 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
     simulate_reads.last_sources = sources
     simulate_reads.last_hap_lens = [len(h) for h in haplos]
     return reads
-
-
-def _hom_truth_and_het(truth):
-    return truth
 
 
 def score_calls(final_report, truth, window=100):

@@ -60,13 +60,8 @@ def main():
     if a.max_loci:
         records = records[: a.max_loci]
 
-    extra_voters = {}
-    for r in records:
-        support = set(r.reads)
-        near = {al.qname for al in store.fetch(
-            r.chrom, r.start - asm_cfg.window, r.end + asm_cfg.window)
-            if al.primary}
-        extra_voters[r.locus_name] = sorted(near - support)
+    from telr_tpu.assembly.local import collect_extra_voters
+    extra_voters = collect_extra_voters(records, store, asm_cfg.window)
 
     prof = cProfile.Profile()
     t0 = time.time()
