@@ -257,24 +257,225 @@ void telr_chain_dp(const int64_t* q, const int64_t* t, int64_t n,
 
 static inline int32_t imax32(int32_t a, int32_t b) { return a > b ? a : b; }
 
-static void banded_dp_one(const int8_t* q, int32_t lq_pad,
+}  // extern "C" (templates need C++ linkage)
+
+// The hot row passes live in their own functions.  GCC 12's
+// if-converter refuses these loops in most surrounding contexts
+// ("relevant phi not supported" — the outcome flips with unrelated
+// code motion), so on AVX-512 hosts the passes are written directly in
+// intrinsics (W is always a multiple of 16 by the caller's bucketing);
+// the scalar templates remain as the portable fallback.
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+
+static void dp_pass1_avx512(const int32_t* hprev, const int32_t* iprev,
+                            const int32_t* trow, int32_t* i_cur,
+                            int32_t* iext, int32_t* dg, int32_t* hnod,
+                            int32_t W, int32_t qi, int32_t go, int32_t ge,
+                            int32_t ma, int32_t mi, int32_t amb, bool loc) {
+    const int32_t NEG = -(1 << 30);
+    const int32_t NEGH = NEG / 2;
+    const __m512i vNEG = _mm512_set1_epi32(NEG);
+    const __m512i vNEGH = _mm512_set1_epi32(NEGH);
+    const __m512i voge = _mm512_set1_epi32(go + ge);
+    const __m512i vge = _mm512_set1_epi32(ge);
+    const __m512i vqi = _mm512_set1_epi32(qi);
+    const __m512i vma = _mm512_set1_epi32(ma);
+    const __m512i vmi = _mm512_set1_epi32(-mi);
+    const __m512i vamb = _mm512_set1_epi32(amb);
+    const __m512i v3 = _mm512_set1_epi32(3);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vzero = _mm512_setzero_si512();
+    const bool q_amb = (qi == 4);
+    for (int32_t p = 0; p < W; p += 16) {
+        __m512i h_up = _mm512_loadu_si512(hprev + p + 1);
+        __mmask16 m1 = _mm512_cmpgt_epi32_mask(h_up, vNEGH);
+        __m512i i_open = _mm512_mask_sub_epi32(vNEG, m1, h_up, voge);
+        __m512i i_up = _mm512_loadu_si512(iprev + p + 1);
+        __mmask16 m2 = _mm512_cmpgt_epi32_mask(i_up, vNEGH);
+        __m512i i_ext = _mm512_mask_sub_epi32(vNEG, m2, i_up, vge);
+        __m512i ic = _mm512_max_epi32(i_open, i_ext);
+        _mm512_storeu_si512(i_cur + p, ic);
+        __mmask16 ne = _mm512_cmpneq_epi32_mask(ic, i_open);
+        __mmask16 gt = _mm512_cmpgt_epi32_mask(ic, vNEGH);
+        _mm512_storeu_si512(iext + p,
+                            _mm512_maskz_mov_epi32((__mmask16)(ne & gt),
+                                                   vone));
+        __m512i tc = _mm512_loadu_si512(trow + p);
+        __mmask16 meq = _mm512_cmpeq_epi32_mask(tc, vqi);
+        __m512i s = _mm512_mask_mov_epi32(vmi, meq, vma);
+        __mmask16 mamb = _mm512_cmpgt_epi32_mask(tc, v3);
+        s = q_amb ? vamb : _mm512_mask_mov_epi32(s, mamb, vamb);
+        __m512i h_diag = _mm512_loadu_si512(hprev + p);
+        __mmask16 m3 = _mm512_cmpgt_epi32_mask(h_diag, vNEGH);
+        __m512i d = _mm512_mask_add_epi32(vNEG, m3, h_diag, s);
+        _mm512_storeu_si512(dg + p, d);
+        __m512i hn = _mm512_max_epi32(d, ic);
+        if (loc) hn = _mm512_max_epi32(hn, vzero);
+        _mm512_storeu_si512(hnod + p, hn);
+    }
+}
+
+static void dp_pass2_avx512(const int32_t* mx, const int32_t* hnod,
+                            const int32_t* dg, const int32_t* iext,
+                            int32_t* dbyte, int32_t* hrow, int32_t W,
+                            int32_t p_lo, int32_t p_hi, int32_t go,
+                            int32_t ge, bool loc) {
+    const int32_t NEG = -(1 << 30);
+    const int32_t NEGH = NEG / 2;
+    const __m512i vNEG = _mm512_set1_epi32(NEG);
+    const __m512i vNEGH = _mm512_set1_epi32(NEGH);
+    const __m512i vge = _mm512_set1_epi32(ge);
+    const __m512i voge = _mm512_set1_epi32(go + ge);
+    const __m512i vthr = _mm512_set1_epi32(NEGH + go + ge);
+    const __m512i vlo = _mm512_set1_epi32(p_lo);
+    const __m512i vhi = _mm512_set1_epi32(p_hi);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i vtwo = _mm512_set1_epi32(2);
+    const __m512i vthree = _mm512_set1_epi32(3);
+    const __m512i vfour = _mm512_set1_epi32(4);
+    const __m512i vzero = _mm512_setzero_si512();
+    __m512i vp = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7,
+                                   8, 9, 10, 11, 12, 13, 14, 15);
+    const __m512i v16 = _mm512_set1_epi32(16);
+    for (int32_t p = 0; p < W; p += 16, vp = _mm512_add_epi32(vp, v16)) {
+        __m512i m_ex = _mm512_loadu_si512(mx + p);
+        // gep = ge * (p - 1) per lane
+        __m512i gep = _mm512_mullo_epi32(
+            _mm512_sub_epi32(vp, vone), vge);
+        __mmask16 mgt = _mm512_cmpgt_epi32_mask(m_ex, vNEGH);
+        __m512i dc = _mm512_mask_sub_epi32(vNEG, mgt, m_ex, gep);
+        __mmask16 in_t = _mm512_cmpge_epi32_mask(vp, vlo)
+                         & _mm512_cmple_epi32_mask(vp, vhi);
+        dc = _mm512_mask_mov_epi32(vNEG, in_t, dc);
+        __m512i prev_hnod = _mm512_loadu_si512(hnod + p - 1);
+        __mmask16 mo = _mm512_cmpgt_epi32_mask(prev_hnod, vthr);
+        __m512i open_cand = _mm512_mask_sub_epi32(vNEG, mo, prev_hnod,
+                                                  voge);
+        __mmask16 dext = _mm512_cmpneq_epi32_mask(dc, open_cand)
+                         & _mm512_cmpgt_epi32_mask(dc, vNEGH);
+        __m512i hn = _mm512_loadu_si512(hnod + p);
+        __m512i hc = _mm512_max_epi32(hn, dc);
+        __mmask16 eq0 = _mm512_cmpeq_epi32_mask(hc, _mm512_loadu_si512(
+            dg + p));
+        __mmask16 eqd = _mm512_cmpeq_epi32_mask(hc, dc);
+        __m512i choice = _mm512_mask_mov_epi32(vtwo, eqd, vone);
+        choice = _mm512_maskz_mov_epi32((__mmask16)~eq0, choice);
+        if (loc) {
+            __mmask16 z = _mm512_cmpeq_epi32_mask(hc, vzero);
+            choice = _mm512_mask_mov_epi32(choice, z, vthree);
+        }
+        __m512i byte = _mm512_or_si512(
+            choice,
+            _mm512_or_si512(
+                _mm512_maskz_mov_epi32(dext, vfour),
+                _mm512_slli_epi32(_mm512_loadu_si512(iext + p), 3)));
+        _mm512_storeu_si512(dbyte + p, byte);
+        _mm512_storeu_si512(hrow + p, hc);
+    }
+}
+#endif  // __AVX512F__
+
+template <bool LOC>
+__attribute__((noinline))
+static void dp_pass1(const int32_t* __restrict__ hprev,
+                     const int32_t* __restrict__ iprev,
+                     const int32_t* __restrict__ trow,
+                     int32_t* __restrict__ i_cur,
+                     int32_t* __restrict__ iext,
+                     int32_t* __restrict__ dg,
+                     int32_t* __restrict__ hnod,
+                     int32_t W, int32_t qi,
+                     int32_t go, int32_t ge, int32_t ma, int32_t mi,
+                     int32_t amb) {
+    const int32_t NEG = -(1 << 30);
+    const int32_t NEGH = NEG / 2;
+    const int32_t q_amb = (qi == 4) ? -1 : 0;
+    for (int32_t p = 0; p < W; p++) {
+        int32_t h_up = hprev[p + 1];
+        int32_t i_open = (h_up > NEGH) ? h_up - go - ge : NEG;
+        int32_t i_up = iprev[p + 1];
+        int32_t i_ext = (i_up > NEGH) ? i_up - ge : NEG;
+        int32_t ic = i_open > i_ext ? i_open : i_ext;
+        i_cur[p] = ic;
+        // two single-compare ternaries &'d together: the direct
+        // (a != b) & (c > d) bool expression defeats if-conversion
+        int32_t ine = (ic == i_open) ? 0 : 1;
+        int32_t igt = (ic > NEGH) ? 1 : 0;
+        iext[p] = ine & igt;
+        int32_t tc = trow[p];
+        int32_t s = (tc == qi) ? ma : -mi;
+        s = (q_amb | (tc >= 4)) ? amb : s;
+        int32_t h_diag = hprev[p];
+        int32_t d = (h_diag > NEGH) ? h_diag + s : NEG;
+        dg[p] = d;
+        int32_t hn = d > ic ? d : ic;
+        if (LOC) hn = hn < 0 ? 0 : hn;
+        hnod[p] = hn;
+    }
+}
+
+template <bool LOC>
+__attribute__((noinline))
+static void dp_pass2(const int32_t* __restrict__ mx,
+                     const int32_t* __restrict__ hnod,
+                     const int32_t* __restrict__ dg,
+                     const int32_t* __restrict__ iext,
+                     int32_t* __restrict__ dbyte,
+                     int32_t* __restrict__ hrow,
+                     int32_t W, int32_t p_lo, int32_t p_hi,
+                     int32_t go, int32_t ge) {
+    const int32_t NEG = -(1 << 30);
+    const int32_t NEGH = NEG / 2;
+    for (int32_t p = 0; p < W; p++) {
+        int32_t m_ex = mx[p];
+        int32_t dc = (m_ex > NEGH) ? m_ex - ge * (p - 1) : NEG;
+        bool in_t = (p >= p_lo) & (p <= p_hi);
+        dc = in_t ? dc : NEG;
+        int32_t prev_hnod = hnod[p - 1];   // [-1] slot holds NEG
+        // open_cand mirrors h_nod[p-1]-go-ge with -inf at p==0; the
+        // sentinel guard keeps the subtraction from drifting the
+        // -inf the XLA version materializes exactly
+        int32_t open_cand = (prev_hnod > NEGH + go + ge)
+                                ? prev_hnod - go - ge : NEG;
+        int32_t dne = (dc == open_cand) ? 0 : 1;
+        int32_t dgt = (dc > NEGH) ? 1 : 0;
+        int32_t dext = dne & dgt;
+        int32_t hn = hnod[p];
+        int32_t hc = hn > dc ? hn : dc;
+        int32_t choice = (hc == dg[p]) ? 0 : ((hc == dc) ? 1 : 2);
+        if (LOC) choice = (hc == 0) ? 3 : choice;
+        dbyte[p] = choice | (dext << 2) | (iext[p] << 3);
+        hrow[p] = hc;
+    }
+}
+
+template <int MODE>
+static void banded_dp_one_t(const int8_t* q, int32_t lq_pad,
                           const int8_t* t, int32_t lt_pad,
                           const int32_t* off, int32_t qlen, int32_t tlen,
-                          int32_t W, int32_t mode,
+                          int32_t W,
                           int32_t ma, int32_t mi, int32_t go, int32_t ge,
                           int32_t amb, uint8_t* dirs, int32_t* out5) {
     const int32_t NEG = -(1 << 30);
     const int32_t NEGH = NEG / 2;
-    const int32_t GLOBAL_M = 0, LOCAL_M = 2;
+    constexpr int32_t GLOBAL_M = 0, LOCAL_M = 2;
+    constexpr int32_t mode = MODE;
     // padded carries: hp/ip[1..W] hold the previous row, NEG elsewhere,
     // so the shifted reads hp[d_i+p] / hp[d_i+p+1] are branchless
     // (d_i in [0, W] -> indexes in [0, 2W+1])
     std::vector<int32_t> hp(2 * W + 2, NEG), ip(2 * W + 2, NEG);
-    std::vector<int32_t> i_cur(W), dg(W), hnod(W), hrow(W);
-    std::vector<uint8_t> iext(W);
-    // padded target codes: tb[x] = t[x-1] for 1<=x<=tlen else 5, sized so
-    // x = off_i + p never overruns (off <= tlen, p < W)
-    std::vector<int8_t> tb((int64_t)tlen + W + 2, 5);
+    std::vector<int32_t> i_cur(W), dg(W), hrow(W), iext(W);
+    // hnodv[-1] slot = NEG so the p-1 read needs no guard (a guarded
+    // load defeats if-conversion and the whole pass stays scalar)
+    std::vector<int32_t> hnodv(W + 1, NEG);
+    int32_t* hnod = hnodv.data() + 1;
+    std::vector<int32_t> gbuf(W), mx(W), dbyte(W);
+    // padded target MATCH SCORES per code (sc[c] for this row's query
+    // base is recomputed each row; tb holds the code widened to int32 so
+    // the hot loop stays single-width and auto-vectorizes)
+    std::vector<int32_t> tb((int64_t)tlen + W + 2, 5);
     int32_t treal = tlen < lt_pad ? tlen : lt_pad;
     for (int32_t x = 0; x < treal; x++) tb[x + 1] = t[x];
 
@@ -290,7 +491,7 @@ static void banded_dp_one(const int8_t* q, int32_t lq_pad,
     int32_t best = (mode == GLOBAL_M) ? NEG : 0;
     int32_t besti = 0, bestp = 0;
     int32_t rows = lq_pad < qlen ? lq_pad : qlen;
-    const bool local = (mode == LOCAL_M);
+    constexpr bool local = (mode == LOCAL_M);
 
     for (int32_t i = 1; i <= rows; i++) {
         int32_t qi = q[i - 1];
@@ -299,31 +500,22 @@ static void banded_dp_one(const int8_t* q, int32_t lq_pad,
         uint8_t* drow = dirs + (int64_t)(i - 1) * W;
         const int32_t* hprev = hp.data() + d_i;   // hprev[p+1] = up, [p] = diag
         const int32_t* iprev = ip.data() + d_i;
-        const int8_t* trow = tb.data() + off_i;   // trow[p] = code at j=off_i+p
+        const int32_t* trow = tb.data() + off_i;  // trow[p] = code at j=off_i+p
 
         // in-range band positions: j in [1, tlen] <=> p in [p_lo, p_hi]
         int32_t p_lo = off_i >= 1 ? 0 : 1 - off_i;
         int64_t ph = (int64_t)tlen - off_i;
         int32_t p_hi = ph >= W ? W - 1 : (ph < -1 ? -1 : (int32_t)ph);
 
-        // branchless vector pass (ternaries compile to blends)
-        for (int32_t p = 0; p < W; p++) {
-            int32_t h_up = hprev[p + 1];
-            int32_t i_open = (h_up > NEGH) ? h_up - go - ge : NEG;
-            int32_t i_up = iprev[p + 1];
-            int32_t i_ext = (i_up > NEGH) ? i_up - ge : NEG;
-            int32_t ic = i_open > i_ext ? i_open : i_ext;
-            i_cur[p] = ic;
-            iext[p] = (uint8_t)(ic != i_open && ic > NEGH);
-            int32_t tc = trow[p];
-            int32_t s = (qi == 4 || tc >= 4) ? amb : (tc == qi ? ma : -mi);
-            int32_t h_diag = hprev[p];
-            int32_t d = (h_diag > NEGH) ? h_diag + s : NEG;
-            dg[p] = d;
-            int32_t hn = d > ic ? d : ic;
-            if (local && hn < 0) hn = 0;
-            hnod[p] = hn;
-        }
+        constexpr bool loc = local;
+#ifdef __AVX512F__
+        dp_pass1_avx512(hprev, iprev, trow, i_cur.data(), iext.data(),
+                        dg.data(), hnod, W, qi, go, ge, ma, mi, amb,
+                        local);
+#else
+        dp_pass1<local>(hprev, iprev, trow, i_cur.data(), iext.data(),
+                        dg.data(), hnod, W, qi, go, ge, ma, mi, amb);
+#endif
         // out-of-range / j==0 fixes (at most two short tails + one cell)
         for (int32_t p = 0; p < p_lo && p < W; p++) hnod[p] = NEG;
         for (int32_t p = p_hi + 1; p < W; p++) if (p >= 0) hnod[p] = NEG;
@@ -332,41 +524,55 @@ static void banded_dp_one(const int8_t* q, int32_t lq_pad,
             hnod[0] = local ? imax32(ic, 0) : ic;
         }
 
-        // horizontal affine (sequential running max) + emit
-        int32_t m_run = NEG;      // max over g[p'] for p' < p
-        int32_t rb = NEG, rbp = 0;
-        int32_t prev_hnod = NEG;  // hnod[p-1]
-        const bool has_zero = (off_i == 0);
+        // horizontal affine.  Only the prefix max over g carries a loop
+        // dependency; everything else is an independent vector pass, so
+        // the serial loop is kept to 2 ops/cell.
+        // g[p] = hnod[p] + ge*p - go - ge (NEG-guarded)  [vector]
+#pragma GCC ivdep
         for (int32_t p = 0; p < W; p++) {
-            bool at_zero = has_zero && p == 0;
-            bool in_t = (p >= p_lo && p <= p_hi);
-            int32_t dc = (m_run > NEGH)
-                             ? (int32_t)(m_run - (int64_t)ge * (p - 1)) : NEG;
-            if (at_zero || !in_t) dc = NEG;
-            int32_t open_cand = (p > 0 && prev_hnod > NEGH + go + ge)
-                                    ? prev_hnod - go - ge : NEG;
-            // NOTE: open_cand mirrors h_nod[p-1]-go-ge with -inf at p==0;
-            // the sentinel guard keeps the subtraction from drifting the
-            // -inf the XLA version materializes exactly
-            uint8_t dext = (dc != open_cand && dc > NEGH) ? 1 : 0;
             int32_t hn = hnod[p];
-            int32_t hc = imax32(hn, dc);
-            uint8_t choice;
-            if (hc == dg[p]) choice = 0;
-            else if (hc == dc) choice = 1;
-            else choice = 2;
-            if (at_zero) choice = 2;
-            if (local && hc == 0) choice = 3;
-            drow[p] = (uint8_t)(choice | (dext ? 4 : 0) | (iext[p] ? 8 : 0));
-            if ((in_t || at_zero) && hc > rb) { rb = hc; rbp = p; }
-            // update running max with g[p] for the NEXT column
-            int32_t gp = (hn > NEGH)
-                             ? (int32_t)(hn + (int64_t)ge * p - go - ge) : NEG;
-            if (gp > m_run) m_run = gp;
-            prev_hnod = hn;
-            hrow[p] = hc;
+            gbuf[p] = (hn > NEGH) ? hn + ge * p - go - ge : NEG;
         }
-        if (rb > best) { best = rb; besti = i; bestp = rbp; }
+        // m_excl[p] = max over g[p'] for p' < p                [serial]
+        {
+            int32_t m_run = NEG;
+            for (int32_t p = 0; p < W; p++) {
+                mx[p] = m_run;
+                m_run = m_run > gbuf[p] ? m_run : gbuf[p];
+            }
+        }
+        // dc / dext / hc / choice / dirs                       [vector]
+        const bool has_zero = (off_i == 0);
+#ifdef __AVX512F__
+        dp_pass2_avx512(mx.data(), hnod, dg.data(), iext.data(),
+                        dbyte.data(), hrow.data(), W, p_lo, p_hi,
+                        go, ge, local);
+#else
+        dp_pass2<local>(mx.data(), hnod, dg.data(), iext.data(),
+                        dbyte.data(), hrow.data(), W, p_lo, p_hi, go, ge);
+#endif
+        if (has_zero) {
+            // the j==0 cell: vertical-only, choice I, no D
+            int32_t hc = hnod[0];
+            dbyte[0] = 2 | (iext[0] << 3);
+            if (loc && hc == 0) dbyte[0] = 3 | (iext[0] << 3);
+            hrow[0] = hc;
+        }
+        for (int32_t p = 0; p < W; p++) drow[p] = (uint8_t)dbyte[p];
+        // row best (first max wins), only over in-band cells: a plain
+        // max reduction vectorizes; the first-index lookup is a short
+        // early-exit scan afterwards
+        {
+            int32_t rb = NEG;
+            int32_t pa = has_zero ? 0 : p_lo;
+            for (int32_t p = pa; p <= p_hi; p++)
+                rb = hrow[p] > rb ? hrow[p] : rb;
+            if (rb > best) {
+                int32_t rbp = pa;
+                while (rbp <= p_hi && hrow[rbp] != rb) rbp++;
+                best = rb; besti = i; bestp = rbp;
+            }
+        }
         // publish this row as the padded previous-row carries
         memcpy(hp.data() + 1, hrow.data(), (size_t)W * sizeof(int32_t));
         memcpy(ip.data() + 1, i_cur.data(), (size_t)W * sizeof(int32_t));
@@ -454,6 +660,25 @@ int64_t telr_count_matches(const int8_t* q, int64_t lq,
     }
     return m;
 }
+
+static void banded_dp_one(const int8_t* q, int32_t lq_pad,
+                          const int8_t* t, int32_t lt_pad,
+                          const int32_t* off, int32_t qlen, int32_t tlen,
+                          int32_t W, int32_t mode,
+                          int32_t ma, int32_t mi, int32_t go, int32_t ge,
+                          int32_t amb, uint8_t* dirs, int32_t* out5) {
+    if (mode == 0)
+        banded_dp_one_t<0>(q, lq_pad, t, lt_pad, off, qlen, tlen, W,
+                           ma, mi, go, ge, amb, dirs, out5);
+    else if (mode == 1)
+        banded_dp_one_t<1>(q, lq_pad, t, lt_pad, off, qlen, tlen, W,
+                           ma, mi, go, ge, amb, dirs, out5);
+    else
+        banded_dp_one_t<2>(q, lq_pad, t, lt_pad, off, qlen, tlen, W,
+                           ma, mi, go, ge, amb, dirs, out5);
+}
+
+extern "C" {
 
 void telr_banded_dp_batch(const int8_t* q, const int8_t* t,
                           const int32_t* off, const int32_t* qlen,
