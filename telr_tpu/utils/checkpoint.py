@@ -113,24 +113,89 @@ class Checkpointer:
         return os.path.join(self.dir, name)
 
     # -- typed payloads ----------------------------------------------
+    # alignment stores are columnar npz, not JSON: a genome-scale store
+    # (10^5 alignments x ~2.5k cigar runs each) costs minutes through
+    # json.dump and ~4x the bytes
+    _ALN_I32 = ("qlen", "qstart", "qend", "tlen", "tstart", "tend",
+                "matches", "blocklen", "mapq", "score")
+
     def save_alignments(self, stage: str, store: AlignmentStore) -> None:
         if not self.dir:
             return
-        rows = []
-        for a in store.all():
-            d = dataclasses.asdict(a)
-            d["cigar"] = _cigar_str(a.cigar)
-            rows.append(d)
-        _atomic_json(self._p(stage + ".json"), rows)
+        alns = list(store.all())
+        n = len(alns)
+        cols = {k: np.fromiter((getattr(a, k) for a in alns),
+                               dtype=np.int32, count=n)
+                for k in self._ALN_I32}
+        cols["strand"] = np.fromiter(
+            (1 if a.strand == "-" else 0 for a in alns), np.uint8, count=n)
+        cols["primary"] = np.fromiter(
+            (1 if a.primary else 0 for a in alns), np.uint8, count=n)
+        qnames = [a.qname for a in alns]
+        tnames = sorted({a.tname for a in alns})
+        tid = {nm: i for i, nm in enumerate(tnames)}
+        cols["tname_id"] = np.fromiter((tid[a.tname] for a in alns),
+                                       np.int32, count=n)
+        op_code = {"M": 0, "D": 1, "I": 2}
+        c_off = np.zeros(n + 1, dtype=np.int64)
+        for i, a in enumerate(alns):
+            c_off[i + 1] = c_off[i] + len(a.cigar)
+        ops = np.empty(int(c_off[-1]), dtype=np.uint8)
+        lens = np.empty(int(c_off[-1]), dtype=np.int32)
+        for i, a in enumerate(alns):
+            lo = int(c_off[i])
+            for k, (op, ln) in enumerate(a.cigar):
+                ops[lo + k] = op_code[op]
+                lens[lo + k] = ln
+        path = self._p(stage + ".npz")
+        tmp = path + ".tmp.npz"
+        # uncompressed: save speed beats bytes for a per-run artifact
+        np.savez(tmp.removesuffix(".npz"),
+                 n=np.int64(n),
+                 qname=np.array("\x00".join(qnames)),
+                 tnames=np.array("\x00".join(tnames)),
+                 cigar_off=c_off, cigar_ops=ops, cigar_lens=lens, **cols)
+        os.replace(tmp, path)
         self.mark(stage)
 
     def load_alignments(self, stage: str) -> AlignmentStore:
-        with open(self._p(stage + ".json")) as f:
-            rows = json.load(f)
+        jpath = self._p(stage + ".json")
+        if os.path.isfile(jpath):  # legacy JSON checkpoints
+            with open(jpath) as f:
+                rows = json.load(f)
+            alns = []
+            for d in rows:
+                d["cigar"] = _cigar_parse(d["cigar"])
+                alns.append(Alignment(**d))
+            return AlignmentStore(alns)
+        z = np.load(self._p(stage + ".npz"))
+        n = int(z["n"])
+        if n == 0:
+            return AlignmentStore([])
+        qnames = str(z["qname"]).split("\x00")
+        tnames = str(z["tnames"]).split("\x00")
+        cols = {k: z[k] for k in self._ALN_I32}
+        strand = z["strand"]
+        primary = z["primary"]
+        tname_id = z["tname_id"]
+        c_off = z["cigar_off"]
+        ops_s = np.array(["M", "D", "I"])[z["cigar_ops"]]
+        lens_l = z["cigar_lens"].tolist()
+        ops_l = ops_s.tolist()
         alns = []
-        for d in rows:
-            d["cigar"] = _cigar_parse(d["cigar"])
-            alns.append(Alignment(**d))
+        for i in range(n):
+            lo, hi = int(c_off[i]), int(c_off[i + 1])
+            alns.append(Alignment(
+                qname=qnames[i], qlen=int(cols["qlen"][i]),
+                qstart=int(cols["qstart"][i]), qend=int(cols["qend"][i]),
+                strand="-" if strand[i] else "+",
+                tname=tnames[int(tname_id[i])], tlen=int(cols["tlen"][i]),
+                tstart=int(cols["tstart"][i]), tend=int(cols["tend"][i]),
+                matches=int(cols["matches"][i]),
+                blocklen=int(cols["blocklen"][i]),
+                mapq=int(cols["mapq"][i]), score=int(cols["score"][i]),
+                cigar=list(zip(ops_l[lo:hi], lens_l[lo:hi])),
+                primary=bool(primary[i])))
         return AlignmentStore(alns)
 
     def save_records(self, stage: str, records: List[SVRecord]) -> None:
