@@ -590,7 +590,7 @@ static void banded_dp_one_t(const int8_t* q, int32_t lq_pad,
 // emitting run-length-encoded ops (0=M, 1=D, 2=I) in REVERSE order
 // (caller reverses).  Returns the number of runs, or -1 if the walk
 // leaves the band.  end cell is written to ij_out[0..1].
-int64_t telr_traceback(const uint8_t* dirs, int32_t W,
+extern "C" int64_t telr_traceback(const uint8_t* dirs, int32_t W,
                        const int32_t* off, int32_t si, int32_t sj,
                        int32_t mode, uint8_t* ops_out, int32_t* lens_out,
                        int64_t max_ops, int32_t* ij_out) {
@@ -640,7 +640,7 @@ int64_t telr_traceback(const uint8_t* dirs, int32_t W,
 
 // matches along a cigar path (PAF residue matches; plain equality, the
 // same semantics as kernels/dp.py count_matches)
-int64_t telr_count_matches(const int8_t* q, int64_t lq,
+extern "C" int64_t telr_count_matches(const int8_t* q, int64_t lq,
                            const int8_t* t, int64_t lt,
                            const uint8_t* ops, const int32_t* lens,
                            int64_t n, int64_t qstart, int64_t tstart) {
