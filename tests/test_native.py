@@ -86,3 +86,59 @@ def test_native_banded_dp_parity():
                 assert int(r[0]) == int(n[0]), (trial, mode)
             assert np.array_equal(ref[0][0][:lq], nat[0][0][:lq]), \
                 (trial, mode)
+
+
+def test_native_symbols_present():
+    """Every fast-path symbol must exist in a freshly built library —
+    the hasattr-based gates silently fall back to Python otherwise
+    (this caught a mangled-linkage regression once)."""
+    from telr_tpu.io import native
+    lib = native.load()
+    if lib is None:
+        import pytest
+        pytest.skip("native library not built")
+    for sym in ("telr_encode", "telr_scan_fasta", "telr_minimizers",
+                "telr_wave_schedule", "telr_chain_dp",
+                "telr_banded_dp_batch", "telr_traceback",
+                "telr_count_matches"):
+        assert hasattr(lib, sym), sym
+
+
+def test_native_traceback_parity():
+    """Native walk == Python walk on real DP outputs (cigar + end cell),
+    including LOCAL stops and band-escape errors."""
+    import numpy as np
+    import pytest
+    from telr_tpu.kernels import dp
+    from telr_tpu.io import native
+
+    if not native.has_traceback():
+        pytest.skip("native library not built")
+    import os
+    os.environ["TELR_NATIVE_DP"] = "0"   # force Python reference walker
+    try:
+        rng = np.random.default_rng(17)
+        for trial in range(10):
+            lq = int(rng.integers(30, 250))
+            lt = int(rng.integers(30, 300))
+            q = rng.integers(0, 4, lq).astype(np.int8)
+            t = rng.integers(0, 4, lt).astype(np.int8)
+            for mode in (dp.GLOBAL, dp.EXTEND, dp.LOCAL):
+                kind, payload = dp._prep_pair(q, t, mode, dp.DPParams())
+                assert kind == "job"
+                qp, tp_, op, lq_, lt_, W = payload
+                dirs, g, b, bi, bp = dp.banded_dp_batch(
+                    qp[None], tp_[None], op[None],
+                    np.array([lq_], np.int32), np.array([lt_], np.int32),
+                    width=W, mode=mode, params_tuple=dp.DPParams().tuple())
+                d0 = np.asarray(dirs[0])
+                if mode == dp.GLOBAL:
+                    si, sj = lq_, lt_
+                else:
+                    si = int(bi[0])
+                    sj = int(op[si]) + int(bp[0]) if si > 0 else int(bp[0])
+                ref = dp.traceback(d0, op, si, sj, mode)
+                got = native.traceback(d0, op, si, sj, mode)
+                assert ref == got, (trial, mode)
+    finally:
+        os.environ.pop("TELR_NATIVE_DP", None)
