@@ -23,12 +23,32 @@ import time
 import numpy as np
 
 
+def _probe_axon() -> bool:
+    """True when the axon TPU tunnel looks alive.  jax.devices() HANGS
+    when the tunnel's compile service is down (observed: service death
+    mid-round), so probe its port before letting jax initialize."""
+    import os
+    import socket
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    try:
+        with socket.create_connection(("127.0.0.1", 8093), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    import os
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _probe_axon():
+        print("axon tunnel unreachable; benching the CPU path",
+              file=sys.stderr)
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     # persistent compile cache: the wavefront kernel's first compile through
     # a remote TPU compile service can take minutes; cached runs take seconds
     try:
-        import os
         os.makedirs("/root/.jax_cache", exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
@@ -90,7 +110,17 @@ def main():
         tlen = np.full((B,), LT, np.int32)
         params = dp.DPParams().tuple()
 
+        # the framework's real CPU compute path is the native C++ engine
+        # (AVX-512 row passes, threaded over the batch); the XLA scan is
+        # the portable fallback beneath it
+        native_run = dp._native_dp()
+
         def run():
+            if native_run is not None:
+                _, g, *_rest = native_run(q, t, off, qlen, tlen, width=W,
+                                          mode=dp.GLOBAL,
+                                          params_tuple=params)
+                return g
             g, b = dp.banded_dp_scores(q, t, off, qlen, tlen, width=W,
                                        mode=dp.GLOBAL, params_tuple=params)
             return np.asarray(g)
