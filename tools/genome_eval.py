@@ -202,6 +202,7 @@ def score_calls(final_report, truth, window=100):
             # flank gaps report the whole gap, TELR get_coord) — match the
             # truth against the interval, padded by the window
             if (call["start"] - window <= t["pos"] <= call["end"] + window
+                    and t.get("chrom", call["chrom"]) == call["chrom"]
                     and t["family"] in str(call["family"]).split("|")):
                 hit = ti
                 break
@@ -256,7 +257,7 @@ def score_calls(final_report, truth, window=100):
 
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
-             workdir=None, read_len=9000, threads=1):
+             workdir=None, read_len=9000, threads=1, chroms=1):
     from telr_tpu.config import TELRConfig, SVConfig
     from telr_tpu.io.fasta import write_fasta
     from telr_tpu.io.seqs import SeqDict, Sequence
@@ -265,14 +266,27 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     rng = np.random.default_rng(seed)
     t0 = time.time()
     library = make_te_library(rng)
-    genome = make_genome(size, library, rng)
-    truth = plant_insertions(genome, library, n_ins, rng)
-    reads = simulate_reads(genome, truth, coverage, rng,
-                           read_len_mean=read_len)
+    # multi-chromosome genomes exercise per-chrom flank filtering,
+    # cross-chrom homology and dedup at scale (real dmel runs are 5+)
+    ref_seqs, truth, reads = [], [], []
+    for ci in range(chroms):
+        cname = f"chr{ci + 1}" if chroms > 1 else "chr2L"
+        genome = make_genome(size // chroms, library, rng)
+        ctruth = plant_insertions(genome, library,
+                                  max(1, n_ins // chroms), rng)
+        creads = simulate_reads(genome, ctruth, coverage, rng,
+                                read_len_mean=read_len)
+        for t in ctruth:
+            t["chrom"] = cname
+        truth.extend(ctruth)
+        from telr_tpu.io.seqs import Sequence as _S
+        ref_seqs.append(_S(cname, genome))
+        reads.extend((f"c{ci}_{n}", c) for n, c in creads)
     sim_s = time.time() - t0
-    print(f"simulated: genome {size / 1e6:.1f}Mb, {len(truth)} insertions, "
-          f"{len(reads)} reads ({sum(len(c) for _, c in reads) / 1e6:.0f}Mb)"
-          f" in {sim_s:.0f}s", flush=True)
+    print(f"simulated: genome {size / 1e6:.1f}Mb x{chroms} chroms, "
+          f"{len(truth)} insertions, {len(reads)} reads "
+          f"({sum(len(c) for _, c in reads) / 1e6:.0f}Mb) in {sim_s:.0f}s",
+          flush=True)
 
     import tempfile
     workdir = workdir or tempfile.mkdtemp(prefix="telr_eval")
@@ -280,7 +294,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     ref_fa = os.path.join(workdir, "ref.fa")
     reads_fa = os.path.join(workdir, "reads.fa")
     lib_fa = os.path.join(workdir, "lib.fa")
-    write_fasta(SeqDict([Sequence("chr2L", genome)]), ref_fa)
+    write_fasta(SeqDict(ref_seqs), ref_fa)
     write_fasta(SeqDict([Sequence(n, c) for n, c in reads]), reads_fa)
     write_fasta(SeqDict([Sequence(n, c) for n, c in library.items()]),
                 lib_fa)
@@ -343,6 +357,8 @@ if __name__ == "__main__":
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--read-len", type=int, default=9000)
     ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--chroms", type=int, default=1)
     a = ap.parse_args()
     run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
-             a.workdir, read_len=a.read_len, threads=a.threads)
+             a.workdir, read_len=a.read_len, threads=a.threads,
+             chroms=a.chroms)
