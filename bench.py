@@ -41,10 +41,14 @@ def _probe_axon() -> bool:
 def main():
     import os
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not _probe_axon():
-        print("axon tunnel unreachable; benching the CPU path",
+        # too late to flip env vars here: sitecustomize registered the
+        # axon plugin at interpreter start and jax.devices() would hang
+        # on the dead tunnel — re-exec with a clean environment instead
+        print("axon tunnel unreachable; re-exec on the CPU path",
               file=sys.stderr)
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     import jax
     # persistent compile cache: the wavefront kernel's first compile through
     # a remote TPU compile service can take minutes; cached runs take seconds
