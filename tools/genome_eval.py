@@ -41,23 +41,44 @@ def make_te_library(rng) -> dict:
     }
 
 
+def _mutate(codes, rate, rng, p_sub, p_ins, ins_extra, del_extra):
+    """Vectorized point-process mutator: per-position events split into
+    substitution / insertion-after / deletion-run classes.  The former
+    per-base Python loops made 140Mb-scale simulation take an hour."""
+    n = len(codes)
+    ev = rng.random(n) < rate
+    r = rng.random(n)
+    sub_m = ev & (r < p_sub)
+    ins_m = ev & (r >= p_sub) & (r < p_sub + p_ins)
+    del_m = ev & (r >= p_sub + p_ins)
+    out = codes.copy()
+    si = np.nonzero(sub_m)[0]
+    out[si] = (codes[si] + 1 + rng.integers(0, 3, si.size)) % 4
+    counts = np.ones(n, np.int64)
+    di = np.nonzero(del_m)[0]
+    counts[di] = 0
+    if del_extra and di.size:
+        dext = rng.integers(0, del_extra + 1, di.size)
+        for k in range(1, del_extra + 1):
+            dk = di[dext >= k] + k
+            counts[dk[dk < n]] = 0
+    ii = np.nonzero(ins_m)[0]
+    if ii.size:
+        ilen = 1 + rng.integers(0, ins_extra + 1, ii.size)
+        counts[ii] += ilen
+    rep = np.repeat(out, counts)
+    if ii.size:
+        tot = int(ilen.sum())
+        starts = np.cumsum(counts) - counts
+        base = np.repeat(starts[ii] + 1, ilen)
+        offs = np.arange(tot) - np.repeat(np.cumsum(ilen) - ilen, ilen)
+        rep[base + offs] = rng.integers(0, 4, tot)
+    return rep.astype(np.int8)
+
+
 def _diverge(codes, rate, rng):
-    out = []
-    i = 0
-    while i < len(codes):
-        if rng.random() < rate:
-            r = rng.random()
-            if r < 0.8:
-                out.append((codes[i] + 1 + rng.integers(0, 3)) % 4)
-                i += 1
-            elif r < 0.9:
-                i += 1 + int(rng.integers(0, 3))
-            else:
-                out.extend(rng.integers(0, 4, 1 + int(rng.integers(0, 3))))
-        else:
-            out.append(codes[i])
-            i += 1
-    return np.array(out, dtype=np.int8)
+    return _mutate(codes, rate, rng, p_sub=0.8, p_ins=0.1,
+                   ins_extra=2, del_extra=2)
 
 
 def make_genome(size, library, rng, repeat_density=0.15):
@@ -157,28 +178,8 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
             L = len(hap) // 2
         start = int(rng.integers(0, len(hap) - L))
         sources.append((hap_idx, start, start + L))
-        codes = hap[start:start + L].copy()
-        # error profile
-        nerr = rng.random(L) < err
-        idx = np.nonzero(nerr)[0]
-        out = []
-        prev = 0
-        for i in idx:
-            out.append(codes[prev:i])
-            r = rng.random()
-            if r < 0.25:  # sub
-                out.append(np.array([(codes[i] + 1 + rng.integers(0, 3))
-                                     % 4], dtype=np.int8))
-                prev = i + 1
-            elif r < 0.65:  # ins
-                out.append(codes[i:i + 1])
-                out.append(rng.integers(
-                    0, 4, 1 + int(rng.integers(0, 2))).astype(np.int8))
-                prev = i + 1
-            else:  # del
-                prev = i + 1 + int(rng.integers(0, 2))
-        out.append(codes[prev:])
-        codes = np.concatenate(out).astype(np.int8)
+        codes = _mutate(hap[start:start + L], err, rng,
+                        p_sub=0.25, p_ins=0.40, ins_extra=1, del_extra=1)
         if rng.random() < 0.5:
             codes = (3 - codes)[::-1].copy()
         reads.append((f"read{k}", codes))
