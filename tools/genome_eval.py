@@ -63,6 +63,9 @@ def _mutate(codes, rate, rng, p_sub, p_ins, ins_extra, del_extra):
             dk = di[dext >= k] + k
             counts[dk[dk < n]] = 0
     ii = np.nonzero(ins_m)[0]
+    # an insertion site swallowed by a preceding deletion run loses its
+    # event (the loop form's cursor skipped it too)
+    ii = ii[counts[ii] == 1]
     if ii.size:
         ilen = 1 + rng.integers(0, ins_extra + 1, ii.size)
         counts[ii] += ilen
