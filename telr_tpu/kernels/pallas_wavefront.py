@@ -590,13 +590,25 @@ def prepare_wavefront_batch(
     return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
 
 
-def run_wavefront_batch(batch, width, mode, params: DPParams,
-                        interpret: bool = False):
+def run_wavefront_batch_device(batch, width, mode, params: DPParams,
+                               interpret: bool = False):
+    """Like run_wavefront_batch but returns the raw (G, 8) device arrays
+    WITHOUT a host sync.  Callers issuing many batches back-to-back should
+    collect with one jax.block_until_ready at the end — through a remote
+    device tunnel each host sync costs a ~40ms round-trip, which dominates
+    the ~15ms kernel time of a 64-pair W=2048 batch."""
     meta, init, scal, n_tiles, n = batch[:5]
     gmeta = batch[6]
-    gout, bout = _call_kernel(
+    return _call_kernel(
         meta, init, scal, gmeta, width=width, mode=mode,
         params_tuple=params.tuple(), n_tiles=n_tiles, interpret=interpret)
+
+
+def run_wavefront_batch(batch, width, mode, params: DPParams,
+                        interpret: bool = False):
+    n = batch[4]
+    gout, bout = run_wavefront_batch_device(batch, width, mode, params,
+                                            interpret=interpret)
     gout = np.asarray(gout).reshape(-1)[:n]
     bout = np.asarray(bout).reshape(-1)[:n]
     return gout, bout
