@@ -724,7 +724,22 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     init = (i0.astype(jnp.int32), j0.astype(jnp.int32),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
             jnp.zeros(n, bool))
-    (fi, fj, _, _, bad), ops = jax.lax.scan(body, init, None, length=S_max)
+
+    # 4-way unrolled scan: the walk is a long sequential chain of tiny
+    # vector steps, so per-iteration scan overhead dominates — running 4
+    # walk steps per scan iteration (S_max is always a multiple of 4;
+    # buckets are multiples of 128) keeps the op stream identical while
+    # quartering the loop overhead.
+    def body4(state, _):
+        ops4 = []
+        for _ in range(4):
+            state, op = body(state, None)
+            ops4.append(op)
+        return state, jnp.stack(ops4)
+
+    (fi, fj, _, _, bad), ops = jax.lax.scan(body4, init, None,
+                                            length=S_max // 4)
+    ops = ops.reshape(S_max, n)
     return ops, fi, fj, bad
 
 
