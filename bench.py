@@ -161,12 +161,25 @@ def main():
 
     gcps = useful_per_iter * iters / dt / 1e9
     baseline_gcps = 1.0  # SIMD CPU aligner class, single core
-    print(json.dumps({
+    rec = {
         "metric": "banded alignment DP throughput",
         "value": round(gcps, 3),
         "unit": "Gcells/s",
         "vs_baseline": round(gcps / baseline_gcps, 3),
-    }))
+        # measurement convention (see ADVICE r2): all iterations issued
+        # async, ONE device sync at the end — how the pipeline drives the
+        # kernel; not comparable to r1's sync-per-iter numbers
+        "dispatch": "pipelined",
+        # window convention: "useful cells" counts query_rows x window
+        # columns.  The headline uses the kernel's own row window
+        # (2*W_wave on TPU, W on CPU); band512 re-counts the SAME runs
+        # at the 512-column row band CPU aligners are usually quoted at,
+        # so it is directly comparable to the ~1 Gcell/s ksw2-class
+        # single-core baseline.
+        "window_cols": useful_per_iter // (B * LQ),
+        "band512_gcells_s": round(B * LQ * 512 * iters / dt / 1e9, 3),
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

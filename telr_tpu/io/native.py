@@ -21,7 +21,46 @@ def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "libtelr_native.so")
+    src = os.path.join(here, "native", "telr_native.cpp")
+    stale = (os.path.isfile(cand) and os.path.isfile(src)
+             and os.path.getmtime(cand) < os.path.getmtime(src))
+    if (not os.path.isfile(cand) or stale) and os.path.isfile(src):
+        _try_build(os.path.dirname(src))
     return cand if os.path.isfile(cand) else None
+
+
+def _try_build(native_dir: str) -> None:
+    """Build the engine in-place on first use (a fresh clone has no .so —
+    without this the mapper silently rides the ~0.1 Gcells/s XLA scan).
+    A lock file guards concurrent builds from forked workers."""
+    import subprocess
+    lock = os.path.join(native_dir, ".build_lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError:
+        # another process is building; wait for it briefly
+        import time
+        for _ in range(300):
+            if not os.path.exists(lock):
+                return
+            time.sleep(0.1)
+        return
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       capture_output=True, timeout=300)
+    except Exception as exc:  # noqa: BLE001 - any build failure -> fallback
+        import logging
+        logging.getLogger("telr").warning(
+            "native engine build failed (%s); falling back to the slow "
+            "XLA-scan DP (~6x slower per thread). Run `make -C %s` "
+            "manually to diagnose.", exc, native_dir)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -31,6 +70,10 @@ def load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     path = _find_lib()
     if path is None:
+        import logging
+        logging.getLogger("telr").warning(
+            "native host engine (libtelr_native.so) unavailable; "
+            "CPU DP falls back to the slow XLA scan path")
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -655,28 +655,39 @@ def run_wavefront_batch_tb(batch, width, mode, params: DPParams,
 
 @functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
 def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
-    """Walk all pairs' direction bytes ON DEVICE.
+    """Walk all pairs' direction bytes ON DEVICE (anti-diagonal sweep).
 
     The dirs tensor ((G, NB, 64, W) int8) stays in device HBM — only the
     per-step op codes ((S_max, n) int8, ~Lq+Lt bytes per pair) cross back
     to the host, which matters enormously through a remote-device tunnel
     (the full dirs tensor is ~W x larger).
 
-    Per iteration each pair consumes exactly one byte: an H-state D/I
-    choice immediately performs the first gap step (equivalent to the
-    host walker's state split, which re-reads the same byte).  Op codes:
-    0=M, 1=D, 2=I, 3=no-op; walk emits in reverse order."""
-    n = m_arr.shape[0]
-    g = jnp.arange(n, dtype=jnp.int32) // 8
-    r = jnp.arange(n, dtype=jnp.int32) % 8
-    dirs_flat = dirs.reshape(-1)
-    H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
+    Sweep formulation: every walk's cell coordinate s = i + j only ever
+    DECREASES (M: -2, D/I: -1), so iterating the sweep variable s from
+    S_max down to 1 visits every pair's byte in order — a pair acts only
+    on the iterations where its own s equals the sweep s.  Because the
+    sweep s is uniform across pairs, the dirs access per iteration is ONE
+    dynamic_slice of the (n, W) step slab plus a vectorized lane select —
+    not an n-element gather from the full tensor, which XLA lowers to
+    per-element HBM dynamic-slices and which made the walk ~40x slower
+    than the DP kernel itself.
 
-    def body(state, _):
+    Per active iteration each pair consumes exactly one byte: an H-state
+    D/I choice immediately performs the first gap step (equivalent to the
+    host walker's state split, which re-reads the same byte).  Op codes:
+    0=M, 1=D, 2=I, 3=no-op; walk emits in reverse order; a pair's ops are
+    interleaved with no-ops (its s skips sweep positions after an M), and
+    the host RLE strips them."""
+    assert S_max % 4 == 0, "op packing requires S_max % 4 == 0"
+    n = m_arr.shape[0]
+    G = n // 8
+    H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+
+    def body(state, s):
         i, j, st, stopped, bad = state
-        active = (i > 0) & (j > 0) & ~stopped
-        s = i + j
-        m_s = jnp.take_along_axis(m_arr, s[:, None], axis=1)[:, 0]
+        active = (i + j == s) & (i > 0) & (j > 0) & ~stopped
+        m_s = jax.lax.dynamic_slice_in_dim(m_arr, s, 1, axis=1)[:, 0]
         off = j - i - m_s
         p_raw = off // 2
         # the host walker RAISES when a walk leaves the band; on device we
@@ -684,11 +695,13 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         bad = bad | (active & ((off & 1 != 0) | (p_raw < 0)
                                | (p_raw >= W)))
         p = jnp.clip(p_raw, 0, W - 1)
-        blk = (s - 1) // 8
-        sb = (s - 1) % 8
-        flat = (((g * NB + blk) * 8 + sb) * 8 + r) * W + p
-        byte = jnp.take(dirs_flat, jnp.clip(flat, 0, dirs_flat.shape[0] - 1)
-                        ).astype(jnp.int32)
+        # step slab for sweep position s: dirs[:, blk, sb*8 : sb*8+8, :]
+        # reshaped to (n, W) — row order g*8+r matches the pair index
+        slab = jax.lax.dynamic_slice(
+            dirs, (0, (s - 1) // 8, ((s - 1) % 8) * 8, 0),
+            (G, 1, 8, W)).reshape(n, W)
+        byte = jnp.sum(jnp.where(lane == p[:, None], slab.astype(jnp.int32),
+                                 0), axis=1)
         ch = byte & 3
         dext = (byte & 4) != 0
         iext = (byte & 8) != 0
@@ -724,22 +737,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     init = (i0.astype(jnp.int32), j0.astype(jnp.int32),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
             jnp.zeros(n, bool))
-
-    # 4-way unrolled scan: the walk is a long sequential chain of tiny
-    # vector steps, so per-iteration scan overhead dominates — running 4
-    # walk steps per scan iteration (S_max is always a multiple of 4;
-    # buckets are multiples of 128) keeps the op stream identical while
-    # quartering the loop overhead.
-    def body4(state, _):
-        ops4 = []
-        for _ in range(4):
-            state, op = body(state, None)
-            ops4.append(op)
-        return state, jnp.stack(ops4)
-
-    (fi, fj, _, _, bad), ops = jax.lax.scan(body4, init, None,
-                                            length=S_max // 4)
-    ops = ops.reshape(S_max, n)
+    sweep = jnp.arange(S_max, 0, -1, dtype=jnp.int32)
+    (fi, fj, _, _, bad), ops = jax.lax.scan(body, init, sweep)
     return ops, fi, fj, bad
 
 

@@ -15,6 +15,11 @@ import sys
 # pytest_configure below, where pytest's fd capture can be stopped
 # first — exec'ing while capture is active sends the whole child run's
 # output into the capture temp file, which dies with the parent.
+#
+# Known limitation: the re-exec rebuilds the command as `python -m pytest
+# <args>`, so plugin objects passed programmatically via
+# pytest.main(plugins=...) and other non-CLI invocation state are dropped.
+# CLI invocations (the only supported entry point here) are unaffected.
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
