@@ -102,3 +102,217 @@ def unpack_received(received: np.ndarray) -> List[List[Tuple[int, int]]]:
         rows = rows[rows[:, 0] >= 0]
         out.append(sorted(map(tuple, rows.tolist())))
     return out
+
+
+# ----------------------------------------------------------------------
+# payload-carrying all-to-all: the read SEQUENCES move with the routing
+# pairs, so a locus' owner shard can assemble from what it RECEIVED —
+# reads resident only on their source shard never need to exist on the
+# owner beforehand (replaces TELR_assembly.py:418-456 csplit per-locus
+# read files; SURVEY §2c "all-to-all redistribution of (locus, read)
+# pairs" with payloads).
+
+HDR_COLS = 4  # [locus_id, rank, length, kind]
+
+
+def make_payload_redistribute_step(mesh: Mesh, capacity: int, l_pad: int):
+    """Jitted all-to-all over the "reads" axis moving header + codes.
+
+    Inputs (both sharded over dim 0):
+      hdr   (S, S, capacity, HDR_COLS) int32, -1 padded
+      codes (S, S, capacity, l_pad)    int8 read codes, -1 padded
+    Outputs: same shapes, [dst, src] = what dst received from src.
+    """
+    def step(hdr, codes):
+        def inner(h, c):
+            rh = jax.lax.all_to_all(h, READS_AXIS, split_axis=1,
+                                    concat_axis=0, tiled=False)
+            rc = jax.lax.all_to_all(c, READS_AXIS, split_axis=1,
+                                    concat_axis=0, tiled=False)
+            return jnp.swapaxes(rh, 0, 1), jnp.swapaxes(rc, 0, 1)
+        from jax import shard_map
+        spec = P(READS_AXIS, None, None, None)
+        return shard_map(inner, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=(spec, spec))(hdr, codes)
+
+    sh = NamedSharding(mesh, P(READS_AXIS))
+    return jax.jit(step, in_shardings=(sh, sh), out_shardings=(sh, sh))
+
+
+def pack_payload_sends(
+    items_per_shard: Sequence[Sequence[Tuple[int, int, int, np.ndarray]]],
+    n_shards: int, capacity: int, l_pad: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host packing of (locus_id, rank, kind, codes) items into send
+    buffers.  Raises if a route exceeds capacity (callers chunk)."""
+    hdr = np.full((n_shards, n_shards, capacity, HDR_COLS), -1,
+                  dtype=np.int32)
+    codes = np.full((n_shards, n_shards, capacity, l_pad), -1,
+                    dtype=np.int8)
+    for src, items in enumerate(items_per_shard):
+        counts = np.zeros(n_shards, dtype=np.int64)
+        for locus_id, rank, kind, rc in items:
+            if len(rc) > l_pad:
+                raise ValueError(f"read length {len(rc)} exceeds l_pad "
+                                 f"{l_pad}")
+            dst = owner_of(locus_id, n_shards)
+            c = counts[dst]
+            if c >= capacity:
+                raise ValueError(
+                    f"route {src}->{dst} exceeds capacity {capacity}")
+            hdr[src, dst, c] = (locus_id, rank, len(rc), kind)
+            codes[src, dst, c, :len(rc)] = rc
+            counts[dst] += 1
+    return hdr, codes
+
+
+def unpack_payload_received(
+    hdr: np.ndarray, codes: np.ndarray,
+) -> List[List[Tuple[int, int, int, np.ndarray]]]:
+    """Received buffers -> per-dst lists of (locus_id, rank, kind, codes),
+    sorted by (locus_id, kind, rank)."""
+    n = hdr.shape[0]
+    out: List[List[Tuple[int, int, int, np.ndarray]]] = []
+    for dst in range(n):
+        h = hdr[dst].reshape(-1, HDR_COLS)
+        c = codes[dst].reshape(-1, codes.shape[-1])
+        keep = h[:, 0] >= 0
+        items = [(int(hh[0]), int(hh[1]), int(hh[3]),
+                  cc[:hh[2]].copy())
+                 for hh, cc in zip(h[keep], c[keep])]
+        items.sort(key=lambda x: (x[0], x[2], x[1]))
+        out.append(items)
+    return out
+
+
+def _pack_local_row(
+    items: Sequence[Tuple[int, int, int, np.ndarray]],
+    n_shards: int, capacity: int, l_pad: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One source shard's send row: (1, S, cap, HDR) + (1, S, cap, l_pad)."""
+    hdr = np.full((1, n_shards, capacity, HDR_COLS), -1, dtype=np.int32)
+    codes = np.full((1, n_shards, capacity, l_pad), -1, dtype=np.int8)
+    counts = np.zeros(n_shards, dtype=np.int64)
+    for locus_id, rank, kind, rc in items:
+        dst = owner_of(locus_id, n_shards)
+        c = counts[dst]
+        if c >= capacity:
+            raise ValueError(f"route ->{dst} exceeds capacity {capacity}")
+        hdr[0, dst, c] = (locus_id, rank, len(rc), kind)
+        codes[0, dst, c, :len(rc)] = rc
+        counts[dst] += 1
+    return hdr, codes
+
+
+def redistribute_payloads_mp(
+    mesh: Mesh,
+    local_items: Sequence[Tuple[int, int, int, np.ndarray]],
+    max_bytes: int = 256 << 20,
+) -> List[Tuple[int, int, int, np.ndarray]]:
+    """Multi-process payload all-to-all: THIS process contributes the send
+    row for its own source shard and receives only the items whose loci it
+    owns.  Buffer geometry (l_pad, capacity, round count) is agreed across
+    processes with a scalar all-gather; rounds bound resident bytes.
+
+    Works identically in a single process (mesh of 1), where it degrades
+    to a self-route."""
+    from jax.experimental import multihost_utils
+
+    n = int(mesh.shape[READS_AXIS])
+    pid = jax.process_index()
+    sh = NamedSharding(mesh, P(READS_AXIS, None, None, None))
+
+    longest = max((len(it[3]) for it in local_items), default=1)
+    route_counts: Dict[int, int] = {}
+    for it in local_items:
+        d = owner_of(it[0], n)
+        route_counts[d] = route_counts.get(d, 0) + 1
+    local_max = np.array([longest, max(route_counts.values(), default=0)],
+                         dtype=np.int64)
+    if jax.process_count() > 1:
+        gmax = np.asarray(
+            multihost_utils.process_allgather(local_max)).max(axis=0)
+    else:
+        gmax = local_max
+    l_pad = 1 << max(7, (int(gmax[0]) - 1).bit_length())
+    cap_budget = max(1, max_bytes // (n * l_pad))
+    cap = min(cap_budget, max(1, int(gmax[1])))
+    cap = 1 << (cap - 1).bit_length()
+    n_rounds = -(-max(1, int(gmax[1])) // cap)
+
+    rounds: List[List] = [[] for _ in range(n_rounds)]
+    counts = {}
+    for it in local_items:
+        d = owner_of(it[0], n)
+        c = counts.get(d, 0)
+        counts[d] = c + 1
+        rounds[c // cap].append(it)
+
+    step = make_payload_redistribute_step(mesh, cap, l_pad)
+    got: List[Tuple[int, int, int, np.ndarray]] = []
+    for rnd in rounds:
+        h, c = _pack_local_row(rnd, n, cap, l_pad)
+        gh = jax.make_array_from_process_local_data(sh, h, (n, n, cap,
+                                                            HDR_COLS))
+        gc = jax.make_array_from_process_local_data(sh, c, (n, n, cap,
+                                                            l_pad))
+        rh, rc = step(gh, gc)
+        lh = np.asarray(rh.addressable_shards[0].data)
+        lc = np.asarray(rc.addressable_shards[0].data)
+        hrow = lh.reshape(-1, HDR_COLS)
+        crow = lc.reshape(-1, lc.shape[-1])
+        keep = hrow[:, 0] >= 0
+        got.extend((int(hh[0]), int(hh[1]), int(hh[3]), cc[:hh[2]].copy())
+                   for hh, cc in zip(hrow[keep], crow[keep]))
+    got.sort(key=lambda x: (x[0], x[2], x[1]))
+    for li, _rank, _kind, _c in got:
+        if owner_of(li, n) != pid:
+            raise RuntimeError(f"received locus {li} not owned by shard "
+                               f"{pid}")
+    return got
+
+
+def redistribute_payloads(
+    mesh: Mesh,
+    items_per_shard: Sequence[Sequence[Tuple[int, int, int, np.ndarray]]],
+    max_bytes: int = 256 << 20,
+) -> List[List[Tuple[int, int, int, np.ndarray]]]:
+    """Route (locus_id, rank, kind, read_codes) items to each locus'
+    owner shard through the device all-to-all, chunking rounds so the
+    send buffers stay under max_bytes."""
+    n = int(mesh.shape[READS_AXIS])
+    longest = max((len(it[3]) for items in items_per_shard
+                   for it in items), default=1)
+    l_pad = 1 << max(7, (int(longest) - 1).bit_length())
+    cap_budget = max(1, max_bytes // (n * n * l_pad))
+
+    # split each shard's items into rounds so every (src, dst) route fits
+    rounds: List[List[List[Tuple[int, int, int, np.ndarray]]]] = []
+    counts = [dict() for _ in range(len(items_per_shard))]
+    placed: List[List[Tuple[int, List]]] = []  # (round, item) flat order
+    for src, items in enumerate(items_per_shard):
+        for it in items:
+            dst = owner_of(it[0], n)
+            c = counts[src].get(dst, 0)
+            counts[src][dst] = c + 1
+            rnd = c // cap_budget
+            while len(rounds) <= rnd:
+                rounds.append([[] for _ in range(n)])
+            rounds[rnd][src].append(it)
+
+    max_route = max((c for d in counts for c in d.values()), default=1)
+    cap = min(cap_budget, max_route)
+    cap = 1 << (cap - 1).bit_length()
+    step = make_payload_redistribute_step(mesh, cap, l_pad)
+
+    merged: List[List[Tuple[int, int, int, np.ndarray]]] = [
+        [] for _ in range(n)]
+    for rnd in rounds:
+        hdr, codes = pack_payload_sends(rnd, n, cap, l_pad)
+        rh, rc = step(hdr, codes)
+        for dst, items in enumerate(
+                unpack_payload_received(np.asarray(rh), np.asarray(rc))):
+            merged[dst].extend(items)
+    for lst in merged:
+        lst.sort(key=lambda x: (x[0], x[2], x[1]))
+    return merged

@@ -66,14 +66,19 @@ def _iter_fastq(fh: TextIO) -> Iterator[Tuple[str, str, str]]:
         yield name, desc, seq
 
 
-def read_fasta(path: str, dedup: bool = True) -> SeqDict:
+def read_fasta(path: str, dedup: bool = True, keep=None) -> SeqDict:
     """Load fasta/fastq into a SeqDict.
 
     dedup=True keeps the first record per ID, matching the reference's
     rm_fasta_redundancy (TELR_input.py:351-361).
+    keep: optional name predicate — records failing it are skipped at
+    parse time (multi-process shard loading: each process materializes
+    only its own read shard).
     """
     d = SeqDict()
     for name, desc, seq in iter_fasta(path):
+        if keep is not None and not keep(name):
+            continue
         d.add(Sequence.from_str(name, seq, desc), dedup=dedup)
     return d
 

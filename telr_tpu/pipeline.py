@@ -43,57 +43,68 @@ from telr_tpu.utils.evallog import LociEval
 logger = logging.getLogger("telr_tpu")
 
 
-def _redistribute_loci(mesh, records: List[SVRecord]
-                       ) -> List[SVRecord]:
-    """Route every (locus, read) pair through the device all-to-all to its
-    locus' owner shard and rebuild each record's read list from what the
-    owner received (SURVEY §2c locus redistribution).
+def _redistribute_loci(mesh, records: List[SVRecord], reads: SeqDict,
+                       extra_voters: Dict[str, List[str]]
+                       ) -> "SeqDict":
+    """Route every (locus, read) PAYLOAD through the device all-to-all to
+    its locus' owner shard and rebuild the assembly-stage read set from
+    what the owner received (SURVEY §2c locus redistribution; replaces
+    the reference's csplit per-locus read files TELR_assembly.py:418-456).
 
-    Pairs are (locus_id, read_rank); source shard = crc32(read name) mod S
-    (the data-parallel read layout), owner = locus_id mod S.  The rebuilt
-    lists must reproduce the originals exactly — a routing bug surfaces as
-    a hard error, so the collective is load-bearing, not decorative."""
+    Items are (locus_id, rank, kind, read_codes) — kind 0 = supporting
+    read (rank indexes rec.reads), kind 1 = extra voter (rank indexes
+    extra_voters[locus]).  Source shard = crc32(read name) mod S (the
+    data-parallel read layout), owner = locus_id mod S.  Assembly then
+    consumes ONLY the received codes: on a single host they must
+    reproduce the local reads bit-for-bit — a routing or payload bug
+    surfaces as a hard error, so the collective is load-bearing, not
+    decorative."""
     import zlib
 
     import numpy as np
 
     from telr_tpu.dist.mesh import READS_AXIS
-    from telr_tpu.dist.redistribute import (make_redistribute_step, owner_of,
-                                            pack_sends, unpack_received)
+    from telr_tpu.dist.redistribute import owner_of, redistribute_payloads
+    from telr_tpu.io.seqs import Sequence
+
     n = int(mesh.shape[READS_AXIS])
-    pairs_per_shard: List[List[tuple]] = [[] for _ in range(n)]
+    items_per_shard: List[List[tuple]] = [[] for _ in range(n)]
+    name_of: Dict[tuple, str] = {}
     for li, rec in enumerate(records):
-        for rank, rn in enumerate(rec.reads):
-            src = zlib.crc32(rn.encode()) % n
-            pairs_per_shard[src].append((li, rank))
-    n_pairs = sum(len(x) for x in pairs_per_shard)
-    if n_pairs == 0:
-        return records
-    counts = np.zeros((n, n), dtype=np.int64)
-    for src, lst in enumerate(pairs_per_shard):
-        for li, _rank in lst:
-            counts[src, owner_of(li, n)] += 1
-    cap = 1 << (int(counts.max()) - 1).bit_length()
-    step = make_redistribute_step(mesh, cap)
-    received = np.asarray(step(pack_sends(pairs_per_shard, n, cap)))
-    rebuilt: Dict[int, List[int]] = {}
-    for dst, lst in enumerate(unpack_received(received)):
-        for li, rank in lst:
+        for kind, names in ((0, rec.reads),
+                            (1, extra_voters.get(rec.locus_name, []))):
+            for rank, rn in enumerate(names):
+                src = zlib.crc32(rn.encode()) % n
+                items_per_shard[src].append(
+                    (li, rank, kind, reads[rn].codes))
+                name_of[(li, rank, kind)] = rn
+    n_items = sum(len(x) for x in items_per_shard)
+    if n_items == 0:
+        return reads
+    merged = redistribute_payloads(mesh, items_per_shard)
+    got: Dict[tuple, np.ndarray] = {}
+    for dst, lst in enumerate(merged):
+        for li, rank, kind, codes in lst:
             if owner_of(li, n) != dst:
                 raise RuntimeError(
                     f"locus {li} landed on shard {dst}, owner is "
                     f"{owner_of(li, n)}")
-            rebuilt.setdefault(li, []).append(rank)
-    for li, rec in enumerate(records):
-        ranks = sorted(rebuilt.get(li, []))
-        new_reads = [rec.reads[r] for r in ranks]
-        if new_reads != list(rec.reads):
+            got[(li, rank, kind)] = codes
+    if set(got) != set(name_of):
+        raise RuntimeError("locus redistribution dropped or duplicated "
+                           "(locus, read) items")
+    rebuilt = SeqDict()
+    for key, codes in got.items():
+        rn = name_of[key]
+        if not np.array_equal(codes, reads[rn].codes):
             raise RuntimeError(
-                f"locus redistribution corrupted read list for locus {li}")
-        rec.reads = new_reads
-    logger.info("locus all-to-all: %d pairs, %d loci over %d shards "
-                "(capacity %d)", n_pairs, len(records), n, cap)
-    return records
+                f"locus redistribution corrupted read payload for {rn}")
+        if rn not in rebuilt:
+            rebuilt.add(Sequence(name=rn, codes=codes))
+    logger.info("locus all-to-all: %d payload items (%d unique reads), "
+                "%d loci over %d shards", n_items, len(rebuilt),
+                len(records), n)
+    return rebuilt
 
 
 def _input_fingerprint(paths, config: TELRConfig) -> str:
@@ -155,7 +166,17 @@ def run_pipeline(
     config = config or default_config()
     if profile_dir:
         import jax
-        jax.profiler.start_trace(profile_dir)
+        # bounded trace: HLO protos + verbose host events off — a full
+        # pipeline run compiles dozens of kernels and a default trace
+        # overflows the 2GB XSpace protobuf cap (observed); level-1 host
+        # tracing keeps the telr_stage TraceAnnotations, and the perfetto
+        # json is what tools/profile_report.py parses
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 1
+        opts.python_tracer_level = 0
+        opts.enable_hlo_proto = False
+        jax.profiler.start_trace(profile_dir, create_perfetto_trace=True,
+                                 profiler_options=opts)
     os.makedirs(out_dir, exist_ok=True)
     if sample_name is None:
         sample_name = os.path.splitext(os.path.basename(reads_path))[0]
@@ -268,13 +289,21 @@ def run_pipeline(
             records = merge_nearby_records(records, config.sv.merge_window)
             ckpt.save_records("te_filter", records)
 
-    if mesh is not None and records:
+    # non-support reads overlapping each locus polish the flank
+    # columns to full local depth (the other haplotype + flank-only
+    # reads; assemble_all guards against deletion-of-the-TE votes)
+    assembly_reads = reads
+    extra_voters = None
+    if mesh is not None and records and not ckpt.has("assembly"):
         with timed("locus_redistribute"):
-            # device all-to-all: co-locate each locus' (locus, read) pairs
-            # on its owner shard before batched assembly (SURVEY §2c); on a
-            # single host this reorders the assembly batches into owner
-            # order, with the pairs genuinely riding lax.all_to_all
-            records = _redistribute_loci(mesh, records)
+            # device all-to-all: co-locate each locus' read PAYLOADS
+            # (support + voter codes) on its owner shard before batched
+            # assembly (SURVEY §2c); assembly consumes only the received
+            # codes, with the payloads genuinely riding lax.all_to_all
+            extra_voters = collect_extra_voters(
+                records, store, config.assembly.window)
+            assembly_reads = _redistribute_loci(mesh, records, reads,
+                                                extra_voters)
 
     with timed("assembly"):
         if ckpt.has("assembly"):
@@ -283,14 +312,13 @@ def run_pipeline(
             logger.info("assembly stage restored from checkpoint")
             restored_stages.append("assembly")
         else:
-            # non-support reads overlapping each locus polish the flank
-            # columns to full local depth (the other haplotype + flank-only
-            # reads; assemble_all guards against deletion-of-the-TE votes)
-            extra_voters = collect_extra_voters(
-                records, store, config.assembly.window)
+            if extra_voters is None:
+                extra_voters = collect_extra_voters(
+                    records, store, config.assembly.window)
             contigs, passed = assemble_all(
-                records, reads, config.read_preset, config.assembly,
-                loci_eval, use_wavefront=config.use_wavefront,
+                records, assembly_reads, config.read_preset,
+                config.assembly, loci_eval,
+                use_wavefront=config.use_wavefront,
                 extra_voters=extra_voters)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})

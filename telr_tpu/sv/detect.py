@@ -274,7 +274,13 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
                        ) -> List[SVRecord]:
     """Single-linkage clustering of signatures along the reference, then
     per-cluster record emission with Sniffles-style genotyping."""
-    sigs = sorted(sigs, key=lambda s: (s.tname, s.tpos))
+    # fully canonical order: position ties broken by (read, kind, qpos,
+    # length) so clustering is deterministic regardless of the order
+    # signatures were produced in (required for bit-identical output when
+    # signatures are gathered from multiple processes, SURVEY §7 #4
+    # determinism-across-shard-counts)
+    sigs = sorted(sigs, key=lambda s: (s.tname, s.tpos, s.read, s.kind,
+                                       s.qpos, s.length))
     clusters: List[List[InsSignature]] = []
     for s in sigs:
         if (clusters and clusters[-1][-1].tname == s.tname

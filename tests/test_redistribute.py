@@ -47,3 +47,34 @@ def test_capacity_overflow_raises():
     pairs = [[(0, i) for i in range(5)]]
     with pytest.raises(ValueError):
         pack_sends(pairs, 1, capacity=4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_payload_all_to_all_moves_read_codes():
+    """The payload collective must deliver every (locus, rank, kind) item
+    to the locus' owner with its read codes intact."""
+    from telr_tpu.dist.redistribute import redistribute_payloads
+
+    rng = np.random.default_rng(1)
+    n = 8
+    mesh = make_mesh(n, loci_parallel=1)
+    truth = {}
+    items_per_shard = [[] for _ in range(n)]
+    for k in range(200):
+        li = int(rng.integers(0, 23))
+        rank = k
+        kind = int(rng.integers(0, 2))
+        codes = rng.integers(0, 4, int(rng.integers(1, 900))).astype(np.int8)
+        src = int(rng.integers(0, n))
+        items_per_shard[src].append((li, rank, kind, codes))
+        truth[(li, rank, kind)] = codes
+    merged = redistribute_payloads(mesh, items_per_shard,
+                                   max_bytes=1 << 20)  # force chunked rounds
+    seen = {}
+    for dst, lst in enumerate(merged):
+        for li, rank, kind, codes in lst:
+            assert owner_of(li, n) == dst
+            seen[(li, rank, kind)] = codes
+    assert set(seen) == set(truth)
+    for key, codes in seen.items():
+        np.testing.assert_array_equal(codes, truth[key])

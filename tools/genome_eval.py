@@ -146,11 +146,24 @@ def plant_insertions(genome, library, n_ins, rng):
 
 
 def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
-                   err=0.10):
+                   err=0.10, ont_profile=False):
     """Reads drawn from a diploid sample: haplotype A carries every
     insertion, haplotype B only the homozygous ones — so "hom" sites are
     on both haplotypes and "het" sites on one.  PacBio-CLR-like errors
-    (~10%: 40% ins / 35% del / 25% sub)."""
+    (~10%: 40% ins / 35% del / 25% sub).  ont_profile switches to an
+    ONT-like mix (~12%, deletion-dominated: 25% ins / 55% del / 20% sub,
+    with occasional longer deletion runs — the homopolymer failure mode)
+    and a wider, longer read-length distribution (reference map-ont
+    target, TELR_alignment.py:56-65)."""
+    if ont_profile:
+        err = 0.12
+        p_sub, p_ins = 0.20, 0.25
+        ins_extra, del_extra = 1, 3
+        len_cap = 40000
+    else:
+        p_sub, p_ins = 0.25, 0.40
+        ins_extra, del_extra = 1, 1
+        len_cap = 20000
     def build_hap(subset):
         cuts, segs = 0, []
         for t in subset:
@@ -173,7 +186,7 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
     k = 0
     while made < total_bases:
         L = int(np.clip(rng.normal(read_len_mean, read_len_mean // 3),
-                        2000, 20000))
+                        2000, len_cap))
         # het sites exist only on hap A; sample haplotypes 50/50
         hap_idx = int(rng.integers(0, 2))
         hap = haplos[hap_idx]
@@ -182,7 +195,8 @@ def simulate_reads(genome, truth, coverage, rng, read_len_mean=9000,
         start = int(rng.integers(0, len(hap) - L))
         sources.append((hap_idx, start, start + L))
         codes = _mutate(hap[start:start + L], err, rng,
-                        p_sub=0.25, p_ins=0.40, ins_extra=1, del_extra=1)
+                        p_sub=p_sub, p_ins=p_ins, ins_extra=ins_extra,
+                        del_extra=del_extra)
         if rng.random() < 0.5:
             codes = (3 - codes)[::-1].copy()
         reads.append((f"read{k}", codes))
@@ -259,13 +273,15 @@ def score_calls(final_report, truth, window=100):
             "call_quality": qsum}
 
 
-def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
-             use_wavefront=False, out_path="GENOME_EVAL.json",
-             workdir=None, read_len=9000, threads=1, chroms=1):
-    from telr_tpu.config import TELRConfig, SVConfig
+def simulate_dataset(size=5_000_000, coverage=30, n_ins=30, seed=0,
+                     workdir=None, read_len=9000, chroms=1,
+                     ont_profile=False):
+    """Simulate (reference, reads, library) fastas + truth; returns
+    (ref_fa, reads_fa, lib_fa, truth, n_reads, n_bases).  Shared by the
+    single-process eval below and the multi-process scaling harness
+    (tools/two_process_pipeline.py)."""
     from telr_tpu.io.fasta import write_fasta
     from telr_tpu.io.seqs import SeqDict, Sequence
-    from telr_tpu.pipeline import run_pipeline
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
@@ -279,18 +295,18 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
         ctruth = plant_insertions(genome, library,
                                   max(1, n_ins // chroms), rng)
         creads = simulate_reads(genome, ctruth, coverage, rng,
-                                read_len_mean=read_len)
+                                read_len_mean=read_len,
+                                ont_profile=ont_profile)
         for t in ctruth:
             t["chrom"] = cname
         truth.extend(ctruth)
-        from telr_tpu.io.seqs import Sequence as _S
-        ref_seqs.append(_S(cname, genome))
+        ref_seqs.append(Sequence(cname, genome))
         reads.extend((f"c{ci}_{n}", c) for n, c in creads)
     sim_s = time.time() - t0
+    n_bases = sum(len(c) for _, c in reads)
     print(f"simulated: genome {size / 1e6:.1f}Mb x{chroms} chroms, "
           f"{len(truth)} insertions, {len(reads)} reads "
-          f"({sum(len(c) for _, c in reads) / 1e6:.0f}Mb) in {sim_s:.0f}s",
-          flush=True)
+          f"({n_bases / 1e6:.0f}Mb) in {sim_s:.0f}s", flush=True)
 
     import tempfile
     workdir = workdir or tempfile.mkdtemp(prefix="telr_eval")
@@ -302,9 +318,24 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     write_fasta(SeqDict([Sequence(n, c) for n, c in reads]), reads_fa)
     write_fasta(SeqDict([Sequence(n, c) for n, c in library.items()]),
                 lib_fa)
+    return ref_fa, reads_fa, lib_fa, truth, len(reads), n_bases
 
+
+def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
+             use_wavefront=False, out_path="GENOME_EVAL.json",
+             workdir=None, read_len=9000, threads=1, chroms=1,
+             ont_profile=False):
+    from telr_tpu.config import TELRConfig, SVConfig
+    from telr_tpu.pipeline import run_pipeline
+
+    import tempfile
+    workdir = workdir or tempfile.mkdtemp(prefix="telr_eval")
+    ref_fa, reads_fa, lib_fa, truth, n_reads, n_bases = simulate_dataset(
+        size, coverage, n_ins, seed, workdir, read_len, chroms,
+        ont_profile=ont_profile)
     cfg = TELRConfig(sv=SVConfig(min_support=max(3, coverage // 8)),
-                     use_wavefront=use_wavefront, threads=threads)
+                     use_wavefront=use_wavefront, threads=threads,
+                     presets="ont" if ont_profile else "pacbio")
     t0 = time.time()
     res = run_pipeline(reads_fa, ref_fa, lib_fa,
                        os.path.join(workdir, "out"), cfg,
@@ -312,7 +343,6 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     pipe_s = time.time() - t0
 
     score = score_calls(res.final_report, truth)
-    n_bases = sum(len(c) for _, c in reads)
     restored = set(getattr(res, "restored_stages", []))
     # a checkpoint-restored stage's wall time is a JSON load, not compute —
     # report no throughput rather than a fantasy number
@@ -324,13 +354,14 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                               "allele_frequency", "liftover")))
     report = {
         "workload": {"genome_mb": size / 1e6, "coverage": coverage,
-                     "n_reads": len(reads), "read_mb": n_bases / 1e6,
+                     "n_reads": n_reads, "read_mb": n_bases / 1e6,
                      "n_truth": len(truth), "seed": seed,
                      "read_len_mean": read_len,
+                     "ont_profile": ont_profile,
                      "use_wavefront": use_wavefront},
         "score": score,
         "throughput": {
-            "reads_per_s": round(len(reads) / align_s, 2)
+            "reads_per_s": round(n_reads / align_s, 2)
             if align_s == align_s else None,
             "read_mb_per_s": round(n_bases / 1e6 / align_s, 3)
             if align_s == align_s else None,
@@ -362,7 +393,9 @@ if __name__ == "__main__":
     ap.add_argument("--read-len", type=int, default=9000)
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--chroms", type=int, default=1)
+    ap.add_argument("--ont", action="store_true",
+                    help="ONT-like error profile + MAP_ONT preset")
     a = ap.parse_args()
     run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
              a.workdir, read_len=a.read_len, threads=a.threads,
-             chroms=a.chroms)
+             chroms=a.chroms, ont_profile=a.ont)
