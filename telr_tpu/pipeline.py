@@ -416,6 +416,7 @@ def run_pipeline(
         print("No non-reference TE insertion found")
         logger.info("TELR found no non-reference TE insertions")
 
+    ckpt.close()  # release the checkpoint-dir lock
     return PipelineResult(
         sample_name=sample_name, records=records, contigs=contigs,
         contig_te=contig_te, te_freq=te_freq, liftover_report=lift_report,

@@ -54,10 +54,47 @@ def _atomic_json(path: str, obj) -> None:
 
 
 class Checkpointer:
-    def __init__(self, directory: Optional[str]):
+    def __init__(self, directory: Optional[str], lock: bool = True):
         self.dir = directory
+        self._fp: Optional[str] = None
+        self._lockf = None
         if directory:
             os.makedirs(directory, exist_ok=True)
+            if lock:
+                # exclusive advisory lock for the life of this run: two
+                # pipelines sharing a checkpoint dir overwrite each
+                # other's stage files and cross-stamp the manifest
+                # (observed: a stale concurrent run published its stages
+                # under the fresh run's fingerprint, and the resume then
+                # grafted contigs from a different genome into the calls)
+                import fcntl
+                self._lockf = open(os.path.join(directory, "MANIFEST.lock"),
+                                   "w")
+                try:
+                    fcntl.flock(self._lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    self._lockf.close()
+                    self._lockf = None
+                    raise RuntimeError(
+                        f"checkpoint dir {directory} is locked by another "
+                        "running pipeline; concurrent runs must use "
+                        "separate checkpoint dirs") from None
+
+    def close(self) -> None:
+        if self._lockf is not None:
+            try:
+                import fcntl
+                fcntl.flock(self._lockf, fcntl.LOCK_UN)
+            except OSError:
+                pass
+            self._lockf.close()
+            self._lockf = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # -- manifest -----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -90,6 +127,7 @@ class Checkpointer:
         and False is returned so the caller can log it."""
         if not self.dir:
             return True
+        self._fp = fp
         m = self._read_manifest()
         if m["fingerprint"] == fp:
             return True
@@ -102,12 +140,22 @@ class Checkpointer:
         if not self.dir:
             return
         m = self._read_manifest()
+        # a run only publishes under its OWN fingerprint: if another run
+        # re-fingerprinted the manifest since we started, our stage files
+        # describe different inputs and must not be advertised as resumable
+        if self._fp is not None and m["fingerprint"] != self._fp:
+            return
         if stage not in m["stages"]:
             m["stages"].append(stage)
         _atomic_json(self._manifest_path(), m)
 
     def has(self, stage: str) -> bool:
-        return self.dir is not None and stage in self.completed()
+        if self.dir is None:
+            return False
+        m = self._read_manifest()
+        if self._fp is not None and m["fingerprint"] != self._fp:
+            return False
+        return stage in m["stages"]
 
     def _p(self, name: str) -> str:
         return os.path.join(self.dir, name)

@@ -76,3 +76,34 @@ def test_manifest_ordering(tmp_path):
     ck.save_json("s2", 2)
     assert ck.completed() == ["s1", "s2"]
     assert ck.load_json("s2") == 2
+
+
+def test_concurrent_runs_same_dir_rejected(tmp_path):
+    import pytest
+    ck = Checkpointer(str(tmp_path))
+    with pytest.raises(RuntimeError, match="locked by another"):
+        Checkpointer(str(tmp_path))
+    ck.close()
+    ck2 = Checkpointer(str(tmp_path))  # released lock is reacquirable
+    ck2.close()
+
+
+def test_stale_run_cannot_publish_under_new_fingerprint(tmp_path):
+    """A run whose inputs were superseded mid-flight (another run
+    re-fingerprinted the shared manifest) must neither mark its stages
+    nor see the other run's stages as resumable — observed failure mode:
+    contigs assembled from a different genome grafted into the calls."""
+    old = Checkpointer(str(tmp_path), lock=False)
+    old.validate_fingerprint("fp-old")
+    old.save_json("alignment", {"who": "old"})
+    assert old.has("alignment")
+
+    new = Checkpointer(str(tmp_path), lock=False)
+    assert not new.validate_fingerprint("fp-new")  # invalidated
+    assert not new.has("alignment")
+
+    # the old run keeps computing and tries to publish a later stage
+    old.save_json("te_filter", {"who": "old"})
+    assert not old.has("te_filter")          # refused: fingerprint changed
+    assert not new.has("te_filter")          # and the new run never sees it
+    assert new.completed() == []
