@@ -242,6 +242,7 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
                            {rn: reads[rn].codes
                             for rn in st.avail + st.extras}))
         results = map_batch_grouped(groups)
+        vote_items: List[Tuple[_State, list]] = []
         for st, result in zip(live, results):
             alns: List[Tuple[Alignment, np.ndarray]] = []
             for rn in st.avail:
@@ -268,7 +269,12 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
                 st.active = False
                 st.failed = True
                 continue
-            new_consensus = consensus_vote(st.consensus, alns)
+            vote_items.append((st, alns))
+        # the vote itself runs on device, batched across every live locus
+        # (device_vote.vote_many) — bit-identical to consensus_vote
+        from telr_tpu.assembly.device_vote import vote_many
+        voted = vote_many([(st.consensus, alns) for st, alns in vote_items])
+        for (st, _), new_consensus in zip(vote_items, voted):
             if new_consensus.size == 0:
                 st.active = False
                 st.failed = True
