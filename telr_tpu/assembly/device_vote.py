@@ -38,6 +38,19 @@ def _bucket(n: int, step: int) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def leftshift_ins(backbone: np.ndarray, tj: int,
+                  seq: np.ndarray) -> Tuple[int, np.ndarray]:
+    """VCF-style left normalization of an insertion event: rotate the
+    inserted sequence left while the preceding backbone base equals its
+    last base.  The DP places an insertion anywhere inside a repeat
+    context; normalizing makes every read's restoration of the same
+    deleted base vote on the SAME column."""
+    while seq.size and tj > 0 and backbone[tj - 1] == seq[-1]:
+        seq = np.concatenate([seq[-1:], seq[:-1]])
+        tj -= 1
+    return tj, seq
+
+
 @functools.lru_cache(maxsize=None)
 def _vote_jit(a_pad: int, r_pad: int, q_pad: int, n_pad: int):
     """Bucket-shaped jitted vote kernel; cached per padded shape."""
@@ -112,7 +125,8 @@ class _PackedLocus:
                 opcode[i, r] = _OP_CODE[op]
                 oplen[i, r] = ln
                 if op == "I":
-                    ins.setdefault(tj, []).append(qc[qi:qi + ln])
+                    js, sq = leftshift_ins(backbone, tj, qc[qi:qi + ln])
+                    ins.setdefault(js, []).append(sq)
                     qi += ln
                 elif op == "M":
                     qi += ln
@@ -147,6 +161,7 @@ def finalize_consensus(backbone: np.ndarray, best: np.ndarray,
     best = best[lo:hi].astype(np.int8)
     keep = keep[lo:hi]
     events: List[Tuple[int, np.ndarray]] = []
+    weak: List[int] = []
     for j in sorted(ins_seqs):
         if not (lo < j < hi):
             continue
@@ -156,6 +171,35 @@ def finalize_consensus(backbone: np.ndarray, best: np.ndarray,
             med = lens[len(lens) // 2]
             rep = min(seqs, key=lambda s: abs(len(s) - med))
             events.append((j, rep.astype(np.int8)))
+        else:
+            weak.append(j)
+    # adjacent-column pooling of sub-majority insertions: a deleted
+    # backbone base is restored by reads inserting it back, but alignment
+    # ambiguity scatters those insertions over neighbouring columns, so no
+    # single column reaches majority and the base stays lost (observed on
+    # deletion-dominated ONT noise as ~7% contig shrinkage).  Columns that
+    # individually failed the gate pool with neighbours within 2 columns.
+    # Pooled events demand a 2/3 SUPERMAJORITY: genuine restorations carry
+    # ~90% of coverage split over the window, while homopolymer insertion
+    # noise piles (PacBio CLR) reach 30-45% — a bare pooled majority tips
+    # those piles and bloats the contig instead.
+    taken = {j for j, _ in events}
+    cluster: List[int] = []
+    for j in weak + [hi + 10]:
+        if cluster and (j - cluster[-1] > 2 or j >= hi):
+            if not any(c in taken or c - 1 in taken or c + 1 in taken
+                       for c in cluster):
+                seqs = [s for c in cluster for s in ins_seqs[c]]
+                jm = cluster[len(cluster) // 2]
+                if 3 * len(seqs) > 2 * int(cov[jm]):
+                    lens = sorted(len(s) for s in seqs)
+                    med = lens[len(lens) // 2]
+                    rep = min(seqs, key=lambda s: abs(len(s) - med))
+                    events.append((cluster[0], rep.astype(np.int8)))
+            cluster = []
+        if j < hi:
+            cluster.append(j)
+    events.sort(key=lambda e: e[0])
     parts: List[np.ndarray] = []
     prev = lo
     for j, seq in events + [(hi, None)]:

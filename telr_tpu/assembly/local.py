@@ -68,7 +68,9 @@ def consensus_vote(backbone: np.ndarray,
                 qi += ln
                 tj += ln
             elif op == "I":
-                ins_seqs.setdefault(tj, []).append(qc[qi:qi + ln])
+                from telr_tpu.assembly.device_vote import leftshift_ins
+                js, sq = leftshift_ins(backbone, tj, qc[qi:qi + ln])
+                ins_seqs.setdefault(js, []).append(sq)
                 qi += ln
             elif op == "D":
                 del_votes[tj:tj + ln] += 1
@@ -82,47 +84,21 @@ def consensus_vote(backbone: np.ndarray,
     else:
         base_votes = np.zeros((n, 5), dtype=np.int32)
 
-    n_reads = len(alignments)
-    # trim low-coverage tips
-    covered = np.nonzero(cov >= (min_cov if n_reads > 2 else 1))[0]
-    if covered.size == 0:
-        return np.zeros(0, dtype=np.int8)
-    lo, hi = int(covered[0]), int(covered[-1]) + 1
-
     # per-column base/deletion decisions, fully vectorized (the per-column
     # Python loop dominated the assembly stage at genome scale: loci x
     # polish rounds x ~14kb backbones)
-    votes = base_votes[lo:hi]
-    bb = backbone[lo:hi].astype(np.int64)
-    col = np.arange(hi - lo)
-    best = votes.argmax(axis=1)
+    bb = backbone.astype(np.int64)
+    col = np.arange(n)
+    best = base_votes.argmax(axis=1)
     # tie goes to the backbone base; no votes at all keeps the backbone
-    best = np.where(votes[col, best] == votes[col, bb], bb, best)
-    best = np.where(votes.sum(axis=1) == 0, bb, best).astype(np.int8)
-    keep = ~(del_votes[lo:hi] * 2 > cov[lo:hi])
+    best = np.where(base_votes[col, best] == base_votes[col, bb], bb, best)
+    best = np.where(base_votes.sum(axis=1) == 0, bb, best).astype(np.int8)
+    keep = ~(del_votes * 2 > cov)
 
-    # insertion events (before column j), majority-gated like the loop form
-    events: List[Tuple[int, np.ndarray]] = []
-    for j in sorted(ins_seqs):
-        if not (lo < j < hi):
-            continue
-        seqs = ins_seqs[j]
-        if 2 * len(seqs) > int(cov[j]):
-            lens = sorted(len(s) for s in seqs)
-            med = lens[len(lens) // 2]
-            rep = min(seqs, key=lambda s: abs(len(s) - med))
-            events.append((j, rep.astype(np.int8)))
-
-    parts: List[np.ndarray] = []
-    prev = lo
-    for j, ins in events + [(hi, None)]:
-        m = keep[prev - lo:j - lo]
-        parts.append(best[prev - lo:j - lo][m])
-        if ins is not None:
-            parts.append(ins)
-        prev = j
-    out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
-    return out.astype(np.int8)
+    # trimming + insertion-event splice shared with the device vote path
+    from telr_tpu.assembly.device_vote import finalize_consensus
+    return finalize_consensus(backbone, best, keep, cov, ins_seqs,
+                              len(alignments), min_cov)
 
 
 def assemble_locus(locus_name: str, read_names: List[str], reads: SeqDict,

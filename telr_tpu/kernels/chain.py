@@ -10,6 +10,14 @@ DP emits the full-length I run, instead of a split alignment.  Target-side
 gaps larger than the DP band are disallowed (they become split alignments /
 deletions, which the pipeline does not consume — reference TELR_sv.py:163
 keeps only SVTYPE=INS).
+
+Exception to the deviation: a link whose diagonal-offset jump |dq - dt|
+exceeds `max_offset_jump` is SPLIT after extraction — the banded region DP
+(band cap 2048) cannot contain such an L-shaped path, and an uncontainable
+jump shreds the insertion into band-width fragments (observed on ONT:
+600bp/2900bp TEs detected as ~120bp INS candidates that then fail the TE
+homology filter).  The two flank sub-chains become a split-pair insertion
+signature with the exact gap length instead (sv/detect.py:131-153).
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ def chain_anchors(
     min_score: float = 40.0,
     min_anchors: int = 3,
     max_chains: int = 16,
+    max_offset_jump: int = 1500,
 ) -> List[Chain]:
     """DP chaining over anchors of one (target, strand) group."""
     n = len(qpos)
@@ -121,5 +130,67 @@ def chain_anchors(
         chains.append(Chain(qpos=q[idx], tpos=t[idx], score=float(f[i]), k=k))
         if len(chains) >= max_chains:
             break
+    chains = _split_at_offset_jumps(chains, k, gap_cap, min_anchors,
+                                    max_offset_jump)
     chains.sort(key=lambda c: -c.score)
     return chains
+
+
+JUMP_WINDOW = 6  # anchors: a spurious in-insertion anchor splits one big
+                 # offset jump into adjacent smaller ones; measure the
+                 # excursion over a short anchor window, not per link
+
+
+def windowed_offset_jump(qpos: np.ndarray, tpos: np.ndarray) -> int:
+    """Largest |diagonal-offset| excursion over any <=JUMP_WINDOW-anchor
+    window — the bend the banded region DP must contain."""
+    off = qpos.astype(np.int64) - tpos.astype(np.int64)
+    n = len(off)
+    if n < 2:
+        return 0
+    best = 0
+    for d in range(1, min(JUMP_WINDOW, n - 1) + 1):
+        best = max(best, int(np.abs(off[d:] - off[:-d]).max()))
+    return best
+
+
+def _split_at_offset_jumps(chains: List[Chain], k: int, gap_cap: float,
+                           min_anchors: int,
+                           max_offset_jump: int) -> List[Chain]:
+    """Split chains at offset excursions the banded region DP cannot
+    contain (see module docstring).  Every link under an offending
+    <=JUMP_WINDOW-anchor window is cut, so stray in-insertion anchors end
+    up in mini sub-chains that the min_anchors filter drops; sub-chain
+    scores are recomputed with the chain DP's own alpha/beta terms."""
+    out: List[Chain] = []
+    for c in chains:
+        if c.n_anchors < 2:
+            out.append(c)
+            continue
+        off = c.qpos.astype(np.int64) - c.tpos.astype(np.int64)
+        n = c.n_anchors
+        cut = np.zeros(n - 1, dtype=bool)
+        for d in range(1, min(JUMP_WINDOW, n - 1) + 1):
+            bad = np.abs(off[d:] - off[:-d]) > max_offset_jump
+            for i in np.nonzero(bad)[0]:
+                cut[i:i + d] = True
+        cuts = np.nonzero(cut)[0]
+        if cuts.size == 0:
+            out.append(c)
+            continue
+        bounds = [0, *(cuts + 1).tolist(), c.n_anchors]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a < min_anchors:
+                continue
+            sq, st_ = c.qpos[a:b], c.tpos[a:b]
+            ddq = np.diff(sq).astype(np.float64)
+            ddt = np.diff(st_).astype(np.float64)
+            alpha = np.minimum(np.minimum(ddq, ddt), k)
+            dd = np.abs(ddq - ddt)
+            beta = np.where(
+                dd > 0,
+                np.minimum(0.01 * k * dd + 0.5 * np.log2(dd + 1), gap_cap),
+                0.0)
+            out.append(Chain(qpos=sq, tpos=st_,
+                             score=float(k + np.sum(alpha - beta)), k=k))
+    return out

@@ -181,8 +181,21 @@ class Aligner:
         qe = min(qe, qlen)
         te = min(te, tlen)
 
-        link_dt = np.diff(chain.tpos) if chain.n_anchors > 1 else np.zeros(1)
-        wneed = int(max(256, (link_dt.max() if len(link_dt) else 0) + 160))
+        if chain.n_anchors > 1:
+            link_dt = int(np.diff(chain.tpos).max())
+            # the band must contain the largest diagonal-offset excursion
+            # between nearby anchors — a query-side gap (an insertion: dq
+            # large, dt ~ 0) bends the path as sharply as a target-side
+            # one, and a band sized from dt alone shreds the insertion
+            # into band-width I fragments.  Windowed measure: a stray
+            # anchor inside the insertion splits one big jump into
+            # adjacent smaller links (chain.py splits chains whose
+            # excursion exceeds max_offset_jump, so 2048 always suffices)
+            from telr_tpu.kernels.chain import windowed_offset_jump
+            link_jump = windowed_offset_jump(chain.qpos, chain.tpos)
+        else:
+            link_dt = link_jump = 0
+        wneed = int(max(256, link_dt + 160, link_jump + 160))
         width = min(dp._bucket(wneed), 2048)
 
         pieces = {}

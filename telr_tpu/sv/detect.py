@@ -105,20 +105,44 @@ def extract_signatures(store: AlignmentStore, reads: SeqDict,
             else:
                 q_cursor = a.qstart
             t_cursor = a.tstart
+            raw_i: List[Tuple[int, int, int]] = []   # (tpos, qpos, len)
             for op, ln in a.cigar:
                 if op == "M":
                     q_cursor += ln
                     t_cursor += ln
                 elif op == "I":
-                    if ln >= cfg.min_ins_len and qc is not None:
-                        seq = decode(qc[q_cursor:q_cursor + ln])
-                        sigs.append(InsSignature(
-                            tname=a.tname, tpos=t_cursor, length=ln,
-                            read=qname, qpos=q_cursor, strand=a.strand,
-                            seq=seq))
+                    if ln >= 20 and qc is not None:
+                        raw_i.append((t_cursor, q_cursor, ln))
                     q_cursor += ln
                 elif op == "D":
                     t_cursor += ln
+            # merge I runs separated by tiny interludes: inside a long
+            # insertion a chance k-mer match of TE sequence against the
+            # reference scores better than one pure I run, so the optimal
+            # DP path legitimately splits the run (I·a M·e I·b, e ~ k).
+            # Runs within 100bp on BOTH axes are one insertion event —
+            # the interlude query bases are genuine TE sequence
+            # (Sniffles merges nearby signatures the same way).
+            # Entries: [tp0, qp0, qend, t_last] (t_last = target pos of
+            # the latest merged run, for the next gap check)
+            merged: List[List[int]] = []
+            for tp, qp, ln in raw_i:
+                if merged:
+                    m = merged[-1]
+                    if tp - m[3] <= 100 and qp - m[2] <= 100:
+                        m[2] = qp + ln
+                        m[3] = tp
+                        continue
+                merged.append([tp, qp, qp + ln, tp])
+            for tp0, qp0, qend, t_last in merged:
+                # net length discounts interlude target bases; seq is the
+                # full query span (interlude bases are TE sequence)
+                net = (qend - qp0) - (t_last - tp0)
+                if net >= cfg.min_ins_len:
+                    sigs.append(InsSignature(
+                        tname=a.tname, tpos=tp0, length=net,
+                        read=qname, qpos=qp0, strand=a.strand,
+                        seq=decode(qc[qp0:qend])))
 
         # split-pair signatures: same read, same target+strand, adjacent
         # on the reference, with an unaligned (or elsewhere-mapped) query
@@ -384,14 +408,22 @@ def cluster_signatures(sigs: List[InsSignature], store: AlignmentStore,
         pos_sigs = two_sided if two_sided else support
         pos = int(np.median([s.tpos for s in pos_sigs]))
         tname = support[0].tname
-        # DR: reads spanning the breakpoint without a supporting signature
+        # DR: reads spanning the breakpoint without ANY supporting
+        # signature.  Exclusion must use the full signature-read set, not
+        # the reduced assembly support: a junction read dropped from
+        # `support` by the two-sided short-circuit still aligns through
+        # the TSD copy (tend >= pos+10 whenever TSD >= 10) and would
+        # otherwise be counted as a REFERENCE read — at hom loci that
+        # drags AF below hom_af and miscalls 1/1 as 0/1 (Sniffles DR
+        # means reads with no insertion evidence at all)
+        sig_reads = {s.read for s in per_read.values()}
         spanning = set()
         for a in store.fetch(tname, pos - 10, pos + 10):
             if a.primary and a.tstart <= pos - 10 and a.tend >= pos + 10:
                 spanning.add(a.qname)
         alt_reads = {s.read for s in support}
         dv = len(alt_reads)
-        dr = len(spanning - alt_reads)
+        dr = len(spanning - sig_reads)
         af = dv / (dv + dr) if (dv + dr) else 0.0
         if af < cfg.min_af:
             continue

@@ -45,9 +45,11 @@ def test_heterozygous_genotype(result):
     assert rec["genotype"] == "0/1"
     af = rec["allele_frequency"]
     assert af is not None and 0.3 <= af <= 0.9
-    # support split: both allele classes present
+    # support split: both allele classes present (DR counts only reads
+    # with NO insertion evidence at all — junction-signature reads that
+    # align through the TSD copy are excluded, sv/detect.py)
     assert int(rec["num_sv_reads"]) >= 5
-    assert int(rec["num_ref_reads"]) >= 5
+    assert int(rec["num_ref_reads"]) >= 4
 
 
 def test_te_sequence_is_jockey_sized(result):
