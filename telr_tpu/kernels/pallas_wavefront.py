@@ -678,7 +678,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     0=M, 1=D, 2=I, 3=no-op; walk emits in reverse order; a pair's ops are
     interleaved with no-ops (its s skips sweep positions after an M), and
     the host RLE strips them."""
-    assert S_max % 4 == 0, "op packing requires S_max % 4 == 0"
+    assert S_max % 8 == 0, \
+        "block walk + op packing require S_max % 8 == 0"
     n = m_arr.shape[0]
     G = n // 8
     H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
@@ -688,10 +689,12 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     # accumulator cannot overflow)
     lane = jax.lax.broadcasted_iota(jnp.int16, (n, W), 1)
 
-    def body(state, s):
+    def step(state, s, slab_k, m_s):
+        """One sweep position; slab_k (n, W) and m_s (n,) are already
+        VMEM-resident (sliced from the block loads) — the per-step HBM
+        dependent-load chain was what made the walk latency-bound."""
         i, j, st, stopped, bad = state
         active = (i + j == s) & (i > 0) & (j > 0) & ~stopped
-        m_s = jax.lax.dynamic_slice_in_dim(m_arr, s, 1, axis=1)[:, 0]
         off = j - i - m_s
         p_raw = off // 2
         # the host walker RAISES when a walk leaves the band; on device we
@@ -699,13 +702,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         bad = bad | (active & ((off & 1 != 0) | (p_raw < 0)
                                | (p_raw >= W)))
         p = jnp.clip(p_raw, 0, W - 1)
-        # step slab for sweep position s: dirs[:, blk, sb*8 : sb*8+8, :]
-        # reshaped to (n, W) — row order g*8+r matches the pair index
-        slab = jax.lax.dynamic_slice(
-            dirs, (0, (s - 1) // 8, ((s - 1) % 8) * 8, 0),
-            (G, 1, 8, W)).reshape(n, W)
         byte = jnp.sum(jnp.where(lane == p[:, None].astype(jnp.int16),
-                                 slab, jnp.int8(0)),
+                                 slab_k, jnp.int8(0)),
                        axis=1, dtype=jnp.int8).astype(jnp.int32)
         ch = byte & 3
         dext = (byte & 4) != 0
@@ -739,14 +737,30 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         nstopped = stopped | (active & stop_now)
         return (ni, nj, nst, nstopped, bad), op
 
+    def block_body(state, blk):
+        # ONE slab load per 8 sweep steps: the walk is latency-bound on
+        # dependent HBM dynamic-slices, so amortizing the load 8x (and
+        # likewise the m_arr slice) is an ~8x walk speedup — the inner
+        # steps then index the loaded block statically.
+        # dirs dim-2 order is (step_in_blk, pair_in_group): blk holds
+        # sweep positions s = blk*8+1 .. blk*8+8 at step_in_blk = 0..7.
+        slab8 = jax.lax.dynamic_slice(
+            dirs, (0, blk, 0, 0), (G, 1, 64, W)).reshape(G, 8, 8, W)
+        m8 = jax.lax.dynamic_slice(m_arr, (0, blk * 8 + 1), (n, 8))
+        ops8 = []
+        for k in range(7, -1, -1):      # descending s within the block
+            s = blk * 8 + k + 1
+            slab_k = slab8[:, k].reshape(n, W)
+            state, op = step(state, s, slab_k, m8[:, k])
+            ops8.append(op)
+        return state, jnp.stack(ops8)   # (8, n), descending s order
+
     init = (i0.astype(jnp.int32), j0.astype(jnp.int32),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
             jnp.zeros(n, bool))
-    sweep = jnp.arange(S_max, 0, -1, dtype=jnp.int32)
-    # unroll amortizes the per-iteration loop overhead (~7.6us/step on
-    # v5e through XLA's while lowering) across 8 sweep steps; the body's
-    # actual work (one 128KB slab slice + a (n, W) select) is tiny
-    (fi, fj, _, _, bad), ops = jax.lax.scan(body, init, sweep, unroll=8)
+    blocks = jnp.arange(S_max // 8 - 1, -1, -1, dtype=jnp.int32)
+    (fi, fj, _, _, bad), ops = jax.lax.scan(block_body, init, blocks)
+    ops = ops.reshape(S_max, n)         # s = S_max..1, matching ops[t]
     return ops, fi, fj, bad
 
 
