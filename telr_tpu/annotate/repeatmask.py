@@ -14,6 +14,7 @@ filtered) using the shared seed-chain-extend core — the rmblast role.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 from telr_tpu.config import LIB_TO_SEQ, AlignPreset
@@ -21,16 +22,23 @@ from telr_tpu.io.seqs import SeqDict
 from telr_tpu.kernels.mapper import Aligner
 from telr_tpu.ops.intervals import Intervals
 
+logger = logging.getLogger("TELR")
+
 
 def repeatmask_reference(
     reference: SeqDict,
     library: SeqDict,
     preset: Optional[AlignPreset] = None,
-    max_copies: int = 1000,
+    max_copies: int = 4000,
     use_wavefront: bool = False,
 ) -> Intervals:
     """Annotate all library-homologous intervals on the reference; the whole
-    library is searched in one batched dispatch."""
+    library is searched in one batched dispatch.
+
+    ``max_copies`` bounds the per-family copy count (high-copy families like
+    INE-1 reach thousands of genomic copies); hitting the cap is logged so a
+    truncated reference-TE annotation is never silent.
+    """
     if preset is None:
         preset = dataclasses.replace(LIB_TO_SEQ, max_secondary=max_copies)
     aligner = Aligner(reference, preset, max_occ=4096,
@@ -39,6 +47,12 @@ def repeatmask_reference(
                                 max_hits=max_copies)
     rows = []
     for s in library:
-        for a in results.get(s.name, []):
+        hits = results.get(s.name, [])
+        if len(hits) >= max_copies:
+            logger.warning(
+                "repeatmask: family %s hit the %d-copy cap; additional "
+                "genomic copies were dropped (raise max_copies to keep them)",
+                s.name, max_copies)
+        for a in hits:
             rows.append((a.tname, a.tstart, a.tend, s.name, ".", a.strand))
     return Intervals.from_rows(rows, ("family", "score", "strand")).sort()

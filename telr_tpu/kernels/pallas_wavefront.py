@@ -680,6 +680,8 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     the host RLE strips them."""
     assert S_max % 8 == 0, \
         "block walk + op packing require S_max % 8 == 0"
+    assert W <= 32767, \
+        "int16 lane iota in the device walk requires W < 32768"
     n = m_arr.shape[0]
     G = n // 8
     H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)

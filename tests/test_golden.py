@@ -54,3 +54,20 @@ def test_json_identical(outdir, name):
     want = json.load(open(os.path.join(GOLDEN, name)))
     got = json.load(open(os.path.join(outdir, name)))
     assert got == want, f"{name} drifted from the golden snapshot"
+
+
+def _normalized_vcf_lines(path):
+    with open(path) as f:
+        return [ln for ln in f.read().splitlines()
+                if not ln.startswith(_VCF_SKIP_PREFIXES)]
+
+
+def test_vcf_identical(outdir):
+    """Pin the VCF writer (matches reference TELR_output.py:313-427).
+
+    ``##fileDate``/``##reference`` legitimately vary per run/environment and
+    are excluded; every other line (full header + records) must match.
+    """
+    want = _normalized_vcf_lines(os.path.join(GOLDEN, "reads.telr.vcf"))
+    got = _normalized_vcf_lines(os.path.join(outdir, "reads.telr.vcf"))
+    assert got == want, "reads.telr.vcf drifted from the golden snapshot"
