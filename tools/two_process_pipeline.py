@@ -27,7 +27,7 @@ import subprocess
 import sys
 import time
 
-PORT = 23667
+PORT = int(os.environ.get("TELR_MP_PORT", "23667"))
 HERE = os.path.abspath(__file__)
 REPO = os.path.dirname(os.path.dirname(HERE))
 
