@@ -197,6 +197,56 @@ int32_t telr_wave_schedule(const int8_t* q, int64_t lq,
 }
 
 // ---------------------------------------------------------------------------
+// minimizer-index lookup (see telr_tpu/kernels/index.py MinimizerIndex)
+// ---------------------------------------------------------------------------
+
+// Batched equal-range search over the sorted index hash array, accelerated
+// by a caller-built prefix table: pref[b] = first position whose hash has
+// top `pbits` bits >= b (pref has 2^pbits + 1 entries, pref[2^pbits] = n).
+// splitmix64 output is uniform, so each bucket holds ~n/2^pbits entries and
+// the binary search touches one hot cache region instead of log2(n) cold
+// lines.  Writes lo_out[i], cnt_out[i] per query hash.
+void telr_index_lookup(const uint64_t* hashes, int64_t n,
+                       const int64_t* pref, int32_t pbits,
+                       const uint64_t* qh, int64_t m,
+                       int64_t* lo_out, int64_t* cnt_out) {
+    const int shift = 64 - pbits;
+    for (int64_t i = 0; i < m; i++) {
+        const uint64_t h = qh[i];
+        const uint64_t b = h >> shift;
+        int64_t lo = pref[b], hi = pref[b + 1];
+        // lower_bound
+        while (lo < hi) {
+            int64_t mid = lo + ((hi - lo) >> 1);
+            if (hashes[mid] < h) lo = mid + 1; else hi = mid;
+        }
+        lo_out[i] = lo;
+        // equal run (multiplicities are tiny except repeat hashes; scan,
+        // falling back to galloping upper_bound for high-copy hashes)
+        int64_t hi2 = lo;
+        int64_t bucket_end = pref[b + 1];
+        while (hi2 < bucket_end && hashes[hi2] == h) {
+            hi2++;
+            if (hi2 - lo >= 16) {  // gallop
+                int64_t step = 16;
+                while (hi2 + step < bucket_end && hashes[hi2 + step] == h) {
+                    hi2 += step;
+                    step <<= 1;
+                }
+                int64_t g_lo = hi2, g_hi = bucket_end;
+                while (g_lo < g_hi) {
+                    int64_t mid = g_lo + ((g_hi - g_lo) >> 1);
+                    if (hashes[mid] == h) g_lo = mid + 1; else g_hi = mid;
+                }
+                hi2 = g_lo;
+                break;
+            }
+        }
+        cnt_out[i] = hi2 - lo;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // anchor-chaining DP (see telr_tpu/kernels/chain.py — same objective)
 // ---------------------------------------------------------------------------
 

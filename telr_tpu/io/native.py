@@ -104,6 +104,13 @@ def load() -> Optional[ctypes.CDLL]:
         # older .so without the chaining DP; callers fall back to numpy
         pass
     try:
+        lib.telr_index_lookup.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.telr_index_lookup.restype = None
+    except AttributeError:
+        pass
+    try:
         i32 = ctypes.c_int32
         lib.telr_banded_dp_batch.argtypes = (
             [ctypes.c_void_p] * 5 + [i32] * 10 + [ctypes.c_void_p] * 2)
@@ -257,3 +264,25 @@ def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0,
 def has_traceback() -> bool:
     lib = load()
     return lib is not None and hasattr(lib, "telr_traceback")
+
+
+def has_index_lookup() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_index_lookup")
+
+
+def index_lookup(hashes: np.ndarray, pref: np.ndarray, pbits: int,
+                 qhashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Prefix-table-accelerated equal-range search of sorted index hashes.
+    Returns (lo, cnt) per query hash — same values as two np.searchsorted
+    calls, but one hot bucket per probe instead of log2(N) cold lines."""
+    lib = load()
+    qhashes = np.ascontiguousarray(qhashes, dtype=np.uint64)
+    m = len(qhashes)
+    lo = np.empty(m, dtype=np.int64)
+    cnt = np.empty(m, dtype=np.int64)
+    lib.telr_index_lookup(hashes.ctypes.data, len(hashes),
+                          pref.ctypes.data, pbits,
+                          qhashes.ctypes.data, m,
+                          lo.ctypes.data, cnt.ctypes.data)
+    return lo, cnt

@@ -9,7 +9,7 @@ the distributed design (SURVEY.md §2c); read batches are what gets sharded.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -28,6 +28,26 @@ class MinimizerIndex:
     gpos: np.ndarray            # (N,) int64 global positions (concat coords)
     strand: np.ndarray          # (N,) int8
     max_occ: int = 512
+    # prefix table over the top `pbits` hash bits: pref[b] = first index
+    # whose hash >> (64-pbits) >= b (len 2^pbits + 1).  Built lazily; keeps
+    # the native lookup's binary search inside one ~64-entry hot bucket.
+    pbits: int = 0
+    pref: Optional[np.ndarray] = None
+
+    def _ensure_pref(self) -> None:
+        if self.pref is not None:
+            return
+        n = len(self.hashes)
+        # ~64 entries per bucket; pbits in [1, 26] bounds table memory
+        pbits = max(1, min(26, int(np.ceil(np.log2(max(2, n / 64))))))
+        bounds = np.arange(1, 2 ** pbits, dtype=np.uint64) << np.uint64(
+            64 - pbits)
+        pref = np.empty(2 ** pbits + 1, dtype=np.int64)
+        pref[0] = 0
+        pref[-1] = n
+        pref[1:-1] = np.searchsorted(self.hashes, bounds, side="left")
+        object.__setattr__(self, "pbits", pbits)
+        object.__setattr__(self, "pref", pref)
 
     @classmethod
     def build(cls, seqs: SeqDict, k: int, w: int, max_occ: int = 512
@@ -59,21 +79,26 @@ class MinimizerIndex:
         """For an array of query hashes, return (q_idx, t_gpos, t_strand) of
         all index hits, dropping hashes with more than max_occ occurrences
         (repeat filter, like minimap2 -f)."""
-        lo = np.searchsorted(self.hashes, qhashes, side="left")
-        hi = np.searchsorted(self.hashes, qhashes, side="right")
-        cnt = hi - lo
-        keep = (cnt > 0) & (cnt <= self.max_occ)
-        q_idx_list, t_pos_list, t_str_list = [], [], []
-        for qi in np.nonzero(keep)[0]:
-            s, e = int(lo[qi]), int(hi[qi])
-            q_idx_list.append(np.full(e - s, qi, dtype=np.int64))
-            t_pos_list.append(self.gpos[s:e])
-            t_str_list.append(self.strand[s:e])
-        if not q_idx_list:
+        from telr_tpu.io import native
+        if native.has_index_lookup() and len(self.hashes):
+            self._ensure_pref()
+            lo, cnt = native.index_lookup(self.hashes, self.pref,
+                                          self.pbits, qhashes)
+        else:
+            lo = np.searchsorted(self.hashes, qhashes, side="left")
+            cnt = np.searchsorted(self.hashes, qhashes, side="right") - lo
+        keep = np.nonzero((cnt > 0) & (cnt <= self.max_occ))[0]
+        if keep.size == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        return (np.concatenate(q_idx_list), np.concatenate(t_pos_list),
-                np.concatenate(t_str_list).astype(np.int64))
+        c = cnt[keep]
+        q_idx = np.repeat(keep, c)
+        # flat index positions of every hit: per-run arange added to starts
+        ends = np.cumsum(c)
+        run_off = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+            ends - c, c)
+        idx = np.repeat(lo[keep], c) + run_off
+        return q_idx, self.gpos[idx], self.strand[idx].astype(np.int64)
 
     def seq_of_gpos(self, gpos: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Global concat position -> (seq_id, local position)."""
