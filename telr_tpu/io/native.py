@@ -244,6 +244,26 @@ def traceback(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
     return cigar, int(ij[0]), int(ij[1])
 
 
+def traceback_arrays(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
+                     mode: int):
+    """traceback returning the array cigar form (ops uint8, lens int32)
+    in forward order — skips the per-run tuple-list build."""
+    lib = load()
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
+    off = np.ascontiguousarray(off, dtype=np.int32)
+    cap = si + sj + 2
+    ops = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int32)
+    ij = np.empty(2, dtype=np.int32)
+    n = lib.telr_traceback(dirs.ctypes.data, dirs.shape[1], off.ctypes.data,
+                           si, sj, mode, ops.ctypes.data, lens.ctypes.data,
+                           cap, ij.ctypes.data)
+    if n < 0:
+        raise RuntimeError(f"traceback left the band from ({si},{sj})")
+    return ((ops[:n][::-1].copy(), lens[:n][::-1].copy()),
+            int(ij[0]), int(ij[1]))
+
+
 _OP_CODE = {"M": 0, "D": 1, "I": 2}
 
 
@@ -252,10 +272,15 @@ def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0,
     lib = load()
     q = np.ascontiguousarray(q, dtype=np.int8)
     t = np.ascontiguousarray(t, dtype=np.int8)
-    n = len(cigar)
-    ops = np.fromiter((_OP_CODE[op] for op, _ in cigar), dtype=np.uint8,
-                      count=n)
-    lens = np.fromiter((ln for _, ln in cigar), dtype=np.int32, count=n)
+    if isinstance(cigar, tuple):   # array form: (ops uint8, lens int32)
+        ops = np.ascontiguousarray(cigar[0], dtype=np.uint8)
+        lens = np.ascontiguousarray(cigar[1], dtype=np.int32)
+        n = len(ops)
+    else:
+        n = len(cigar)
+        ops = np.fromiter((_OP_CODE[op] for op, _ in cigar),
+                          dtype=np.uint8, count=n)
+        lens = np.fromiter((ln for _, ln in cigar), dtype=np.int32, count=n)
     return int(lib.telr_count_matches(
         q.ctypes.data, len(q), t.ctypes.data, len(t),
         ops.ctypes.data, lens.ctypes.data, n, qstart, tstart))

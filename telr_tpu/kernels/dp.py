@@ -487,7 +487,7 @@ def _prep_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
 
 
 def _finish_pair(dirs, gscore, best, besti, bestp, off_pad, lq, lt, mode,
-                 want_cigar: bool):
+                 want_cigar: bool, cigar_arrays: bool = False):
     """Shared traceback back half of align_pair."""
     out = {"qstart": 0, "tstart": 0}
     if mode == GLOBAL:
@@ -499,10 +499,82 @@ def _finish_pair(dirs, gscore, best, besti, bestp, off_pad, lq, lt, mode,
         sj = int(off_pad[si]) + int(bestp) if si > 0 else int(bestp)
     out["qend"], out["tend"] = si, sj
     if want_cigar:
-        ops, ei, ej = traceback(np.asarray(dirs), off_pad, si, sj, mode)
-        out["cigar"] = ops
+        if cigar_arrays:
+            arr, ei, ej = traceback_arrays(np.asarray(dirs), off_pad,
+                                           si, sj, mode)
+            out["cigar"] = arr
+        else:
+            arr, ei, ej = traceback(np.asarray(dirs), off_pad, si, sj, mode)
+            out["cigar"] = arr
         out["qstart"], out["tstart"] = ei, ej
     return out
+
+
+# ---------------------------------------------------------------------------
+# Array-form cigars: (ops uint8 [M=0,D=1,I=2], lens int32) in forward order.
+# The hot path (mapper piece assembly) stays in this form end-to-end; the
+# list-of-(str, int) form remains the public ABI of Alignment.cigar.
+# ---------------------------------------------------------------------------
+
+_OP_STR = np.array(["M", "D", "I"])
+_OP_CODE = {"M": 0, "D": 1, "I": 2}
+
+
+def cigar_to_arrays(cigar) -> Tuple[np.ndarray, np.ndarray]:
+    if isinstance(cigar, tuple):
+        return cigar
+    n = len(cigar)
+    ops = np.fromiter((_OP_CODE[op] for op, _ in cigar), dtype=np.uint8,
+                      count=n)
+    lens = np.fromiter((ln for _, ln in cigar), dtype=np.int32, count=n)
+    return ops, lens
+
+
+def arrays_to_cigar(arr) -> List[Tuple[str, int]]:
+    if isinstance(arr, list):
+        return arr
+    ops, lens = arr
+    return list(zip(_OP_STR[ops].tolist(),
+                    np.asarray(lens).astype(np.int64).tolist()))
+
+
+def merge_cigar_arrays(a, b):
+    """Concatenate two array-form cigars, joining an equal boundary op."""
+    aops, alens = a
+    bops, blens = b
+    if len(aops) == 0:
+        return b
+    if len(bops) == 0:
+        return a
+    if aops[-1] == bops[0]:
+        lens = np.concatenate([alens[:-1],
+                               [alens[-1] + blens[0]], blens[1:]])
+        ops = np.concatenate([aops, bops[1:]])
+        return ops, lens.astype(np.int32)
+    return (np.concatenate([aops, bops]),
+            np.concatenate([alens, blens]))
+
+
+def cigar_arrays_stats(arr) -> Tuple[int, int, int, int]:
+    """(n_M, n_I, n_D, block_len) of an array-form cigar — vectorized
+    sibling of cigar_stats."""
+    ops, lens = arr
+    if len(ops) == 0:
+        return 0, 0, 0, 0
+    sums = np.bincount(ops, weights=lens, minlength=3)
+    nm, nd, ni = int(sums[0]), int(sums[1]), int(sums[2])
+    return nm, ni, nd, nm + ni + nd
+
+
+def traceback_arrays(dirs: np.ndarray, off: np.ndarray, start_i: int,
+                     start_j: int, mode: int):
+    """traceback returning the array cigar form (no per-run tuple list)."""
+    if _native_walks():
+        from telr_tpu.io import native
+        return native.traceback_arrays(dirs, off, int(start_i),
+                                       int(start_j), mode)
+    ops, ei, ej = traceback(dirs, off, start_i, start_j, mode)
+    return cigar_to_arrays(ops), ei, ej
 
 
 def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,
@@ -556,7 +628,8 @@ def _native_dp():
     return native.banded_dp_batch if native.has_banded_dp() else None
 
 
-def align_pairs(items, runner=None, want_cigar: bool = True):
+def align_pairs(items, runner=None, want_cigar: bool = True,
+                cigar_arrays: bool = False):
     """Batched align_pair: one padded banded_dp_batch launch per shape
     bucket instead of one launch per piece.
 
@@ -576,6 +649,9 @@ def align_pairs(items, runner=None, want_cigar: bool = True):
     for i, (q, t, mode, params, width, off) in enumerate(items):
         kind, payload = _prep_pair(q, t, mode, params, width, off)
         if kind == "quick":
+            if cigar_arrays and "cigar" in payload:
+                payload = dict(payload,
+                               cigar=cigar_to_arrays(payload["cigar"]))
             results[i] = payload
             continue
         q_pad, t_pad, off_pad, lq, lt, w = payload
@@ -631,12 +707,14 @@ def align_pairs(items, runner=None, want_cigar: bool = True):
             for r, (i, _q, _t, off_pad, lq, lt) in enumerate(part):
                 results[i] = _finish_pair(
                     dirs[r], gscore[r], best[r], besti[r], bestp[r],
-                    off_pad, lq, lt, mode, want_cigar)
+                    off_pad, lq, lt, mode, want_cigar, cigar_arrays)
     return results
 
 
-def cigar_stats(cigar: List[Tuple[str, int]]) -> Tuple[int, int, int, int]:
+def cigar_stats(cigar) -> Tuple[int, int, int, int]:
     """(n_M, n_I, n_D, block_len)."""
+    if isinstance(cigar, tuple):
+        return cigar_arrays_stats(cigar)
     nm = sum(l for op, l in cigar if op == "M")
     ni = sum(l for op, l in cigar if op == "I")
     nd = sum(l for op, l in cigar if op == "D")
@@ -648,6 +726,8 @@ def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0, tstart=0) -> in
     if _native_walks():
         from telr_tpu.io import native
         return native.count_matches(q, t, cigar, qstart, tstart)
+    if isinstance(cigar, tuple):
+        cigar = arrays_to_cigar(cigar)
     qi, tj = qstart, tstart
     matches = 0
     for op, ln in cigar:

@@ -222,13 +222,14 @@ class Aligner:
         if res is None or res["score"] <= dp.NEG_INF // 2 or \
                 res.get("failed"):
             return None
-        cigar = list(res["cigar"])
+        cigar = dp.cigar_to_arrays(res["cigar"])
         score = res["score"]
         r = results.get("rext")
         if r is not None and r.get("failed"):
             return None
         if r is not None:
-            cigar = _merge_cigar(cigar, r["cigar"])
+            cigar = dp.merge_cigar_arrays(cigar,
+                                          dp.cigar_to_arrays(r["cigar"]))
             qe += r["qend"]
             te += r["tend"]
             score += r["score"]
@@ -236,13 +237,14 @@ class Aligner:
         if r is not None and r.get("failed"):
             return None
         if r is not None:
-            left_cigar = list(reversed(r["cigar"]))
-            cigar = _merge_cigar(left_cigar, cigar)
+            lo, ll = dp.cigar_to_arrays(r["cigar"])
+            left_cigar = (lo[::-1].copy(), ll[::-1].copy())
+            cigar = dp.merge_cigar_arrays(left_cigar, cigar)
             qs -= r["qend"]
             ts -= r["tend"]
             score += r["score"]
 
-        nm, ni, nd, blk = dp.cigar_stats(cigar)
+        nm, ni, nd, blk = dp.cigar_arrays_stats(cigar)
         if blk == 0:
             return None
         # geometry check: a corrupted walk (band escape on a degenerate
@@ -258,8 +260,8 @@ class Aligner:
             qname=qname, qlen=qlen, qstart=int(oqs), qend=int(oqe),
             strand="-" if strand else "+", tname=tname, tlen=tlen,
             tstart=int(ts), tend=int(te), matches=int(matches),
-            blocklen=int(blk), mapq=0, score=int(score), cigar=cigar,
-            primary=primary)
+            blocklen=int(blk), mapq=0, score=int(score),
+            cigar=dp.arrays_to_cigar(cigar), primary=primary)
 
     def _postprocess(self, alns: List[Alignment],
                      max_hits: Optional[int]) -> List[Alignment]:
@@ -466,7 +468,8 @@ def map_batch_grouped(
                 cpu_slots.append((ji, tag))
     if cpu_items:
         for (ji, tag), res in zip(cpu_slots,
-                                  dp.align_pairs(cpu_items, runner=runner)):
+                                  dp.align_pairs(cpu_items, runner=runner,
+                                                 cigar_arrays=True)):
             piece_results[ji][tag] = res
     if wave_buckets:
         from telr_tpu.kernels.pallas_wavefront import wavefront_align
