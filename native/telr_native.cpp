@@ -18,6 +18,7 @@
 #include <vector>
 #include <cmath>
 #include <thread>
+#include <algorithm>
 
 extern "C" {
 
@@ -292,6 +293,52 @@ void telr_chain_dp(const int64_t* q, const int64_t* t, int64_t n,
             parent[i] = best_j;
         }
     }
+}
+
+// Greedy chain extraction from the chaining-DP output (the back half of
+// kernels/chain.py chain_anchors): visit anchors by descending score,
+// walk parent links until a used anchor, keep paths of >= min_anchors.
+// Ties sort by ascending index (deterministic).  Writes the flat anchor
+// index list (forward order per chain) + per-chain (start, len, score).
+// Returns the number of chains (<= max_chains).
+int64_t telr_chain_extract(const double* f, const int64_t* parent, int64_t n,
+                           double min_score, int64_t min_anchors,
+                           int64_t max_chains,
+                           int64_t* idx_out, int64_t* chain_start,
+                           int64_t* chain_len, double* chain_score) {
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        if (f[a] != f[b]) return f[a] > f[b];
+        return a < b;
+    });
+    std::vector<uint8_t> used(n, 0);
+    std::vector<int64_t> path;
+    path.reserve(64);
+    int64_t nchains = 0, w = 0;
+    for (int64_t oi = 0; oi < n && nchains < max_chains; oi++) {
+        int64_t i = order[oi];
+        if (used[i] || f[i] < min_score) continue;
+        path.clear();
+        int64_t cur = i;
+        while (cur != -1 && !used[cur]) {
+            path.push_back(cur);
+            cur = parent[cur];
+        }
+        if ((int64_t)path.size() < min_anchors) {
+            for (int64_t p : path) used[p] = 1;
+            continue;
+        }
+        chain_start[nchains] = w;
+        chain_len[nchains] = (int64_t)path.size();
+        chain_score[nchains] = f[i];
+        for (int64_t k = (int64_t)path.size() - 1; k >= 0; k--) {
+            used[path[k]] = 1;
+            idx_out[w++] = path[k];
+        }
+        nchains++;
+    }
+    return nchains;
 }
 
 // ---------------------------------------------------------------------------

@@ -104,6 +104,14 @@ def load() -> Optional[ctypes.CDLL]:
         # older .so without the chaining DP; callers fall back to numpy
         pass
     try:
+        lib.telr_chain_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_double, i64,
+            i64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.telr_chain_extract.restype = i64
+    except AttributeError:
+        pass
+    try:
         lib.telr_index_lookup.argtypes = [
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p]
@@ -289,6 +297,28 @@ def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0,
 def has_traceback() -> bool:
     lib = load()
     return lib is not None and hasattr(lib, "telr_traceback")
+
+
+def has_chain_extract() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_chain_extract")
+
+
+def chain_extract(f: np.ndarray, parent: np.ndarray, min_score: float,
+                  min_anchors: int, max_chains: int):
+    """Greedy score-ordered chain extraction (native back half of
+    chain_anchors).  Returns (idx_flat, starts, lens, scores) arrays."""
+    lib = load()
+    n = len(f)
+    idx = np.empty(n, dtype=np.int64)
+    starts = np.empty(max_chains, dtype=np.int64)
+    lens = np.empty(max_chains, dtype=np.int64)
+    scores = np.empty(max_chains, dtype=np.float64)
+    nc = lib.telr_chain_extract(f.ctypes.data, parent.ctypes.data, n,
+                                float(min_score), min_anchors, max_chains,
+                                idx.ctypes.data, starts.ctypes.data,
+                                lens.ctypes.data, scores.ctypes.data)
+    return idx, starts[:nc], lens[:nc], scores[:nc]
 
 
 def has_index_lookup() -> bool:

@@ -109,27 +109,39 @@ def chain_anchors(
                 f[i] = cand[best]
                 parent[i] = j0 + best
 
-    # extract chains greedily by score, skipping used anchors
-    used = np.zeros(n, dtype=bool)
+    # extract chains greedily by score, skipping used anchors (native path
+    # when available; identical semantics, ties broken by anchor index)
     chains: List[Chain] = []
-    for i in np.argsort(-f):
-        if used[i] or f[i] < min_score:
-            continue
-        path = []
-        cur = int(i)
-        while cur != -1 and not used[cur]:
-            path.append(cur)
-            cur = int(parent[cur])
-        if len(path) < min_anchors:
-            for p in path:
-                used[p] = True
-            continue
-        path.reverse()
-        idx = np.array(path, dtype=np.int64)
-        used[idx] = True
-        chains.append(Chain(qpos=q[idx], tpos=t[idx], score=float(f[i]), k=k))
-        if len(chains) >= max_chains:
-            break
+    if nat is not None and hasattr(nat, "telr_chain_extract"):
+        from telr_tpu.io import native
+        idx_flat, starts, lens, scores = native.chain_extract(
+            f, parent, min_score, min_anchors, max_chains)
+        for s, ln, sc in zip(starts, lens, scores):
+            idx = idx_flat[s:s + ln]
+            chains.append(Chain(qpos=q[idx], tpos=t[idx],
+                                score=float(sc), k=k))
+    else:
+        used = np.zeros(n, dtype=bool)
+        # stable descending order with index tiebreak (matches native)
+        for i in np.argsort(-f, kind="stable"):
+            if used[i] or f[i] < min_score:
+                continue
+            path = []
+            cur = int(i)
+            while cur != -1 and not used[cur]:
+                path.append(cur)
+                cur = int(parent[cur])
+            if len(path) < min_anchors:
+                for p in path:
+                    used[p] = True
+                continue
+            path.reverse()
+            idx = np.array(path, dtype=np.int64)
+            used[idx] = True
+            chains.append(Chain(qpos=q[idx], tpos=t[idx],
+                                score=float(f[i]), k=k))
+            if len(chains) >= max_chains:
+                break
     chains = _split_at_offset_jumps(chains, k, gap_cap, min_anchors,
                                     max_offset_jump)
     chains.sort(key=lambda c: -c.score)
