@@ -687,14 +687,21 @@ static void banded_dp_one_t(const int8_t* q, int32_t lq_pad,
 // emitting run-length-encoded ops (0=M, 1=D, 2=I) in REVERSE order
 // (caller reverses).  Returns the number of runs, or -1 if the walk
 // leaves the band.  end cell is written to ij_out[0..1].
+// ij_out[0..1] = path start cell; ij_out[2] = minimum distance of the walk
+// from a CONSTRAINING band edge (0 = the path touched the outermost band
+// cell where the band actually clips the matrix — callers retry at a wider
+// band).  An edge is constraining only where matrix cells lie beyond it:
+// the left edge when off[i] > 0, the right when off[i] + W <= lt.
 extern "C" int64_t telr_traceback(const uint8_t* dirs, int32_t W,
                        const int32_t* off, int32_t si, int32_t sj,
-                       int32_t mode, uint8_t* ops_out, int32_t* lens_out,
-                       int64_t max_ops, int32_t* ij_out) {
+                       int32_t mode, int32_t lt, uint8_t* ops_out,
+                       int32_t* lens_out, int64_t max_ops,
+                       int32_t* ij_out) {
     const int32_t LOCAL_M = 2;
     int64_t n = 0;
     int32_t i = si, j = sj;
     int32_t state = 0;  // 0=H 1=D 2=I
+    int32_t margin = W;
     auto push = [&](uint8_t op) -> bool {
         if (n > 0 && ops_out[n - 1] == op) { lens_out[n - 1]++; return true; }
         if (n >= max_ops) return false;
@@ -709,6 +716,8 @@ extern "C" int64_t telr_traceback(const uint8_t* dirs, int32_t W,
         }
         int32_t p = j - off[i];
         if (p < 0 || p >= W) return -1;
+        if (off[i] > 0 && p < margin) margin = p;
+        if (off[i] + W <= lt && (W - 1 - p) < margin) margin = W - 1 - p;
         uint8_t byte = dirs[(int64_t)(i - 1) * W + p];
         uint8_t choice = byte & 3;
         if (state == 0) {
@@ -731,7 +740,7 @@ extern "C" int64_t telr_traceback(const uint8_t* dirs, int32_t W,
             if (!(byte & 8)) state = 0;
         }
     }
-    ij_out[0] = i; ij_out[1] = j;
+    ij_out[0] = i; ij_out[1] = j; ij_out[2] = margin;
     return n;
 }
 

@@ -124,7 +124,7 @@ def load() -> Optional[ctypes.CDLL]:
             [ctypes.c_void_p] * 5 + [i32] * 10 + [ctypes.c_void_p] * 2)
         lib.telr_banded_dp_batch.restype = None
         lib.telr_traceback.argtypes = [
-            ctypes.c_void_p, i32, ctypes.c_void_p, i32, i32, i32,
+            ctypes.c_void_p, i32, ctypes.c_void_p, i32, i32, i32, i32,
             ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_void_p]
         lib.telr_traceback.restype = i64
         lib.telr_count_matches.argtypes = [
@@ -231,45 +231,39 @@ def banded_dp_batch(q, t, off, qlen, tlen, *, width, mode, params_tuple):
 _OPS = np.array(["M", "D", "I"])
 
 
-def traceback(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
-              mode: int):
-    """Native traceback walk; same contract as kernels.dp.traceback.
-    Returns (cigar, end_i, end_j) or raises RuntimeError on band escape."""
+def _traceback_raw(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
+                   mode: int, lt: int):
     lib = load()
     dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
     off = np.ascontiguousarray(off, dtype=np.int32)
     cap = si + sj + 2
     ops = np.empty(cap, dtype=np.uint8)
     lens = np.empty(cap, dtype=np.int32)
-    ij = np.empty(2, dtype=np.int32)
+    ij = np.empty(3, dtype=np.int32)
     n = lib.telr_traceback(dirs.ctypes.data, dirs.shape[1], off.ctypes.data,
-                           si, sj, mode, ops.ctypes.data, lens.ctypes.data,
-                           cap, ij.ctypes.data)
+                           si, sj, mode, lt, ops.ctypes.data,
+                           lens.ctypes.data, cap, ij.ctypes.data)
     if n < 0:
         raise RuntimeError(f"traceback left the band from ({si},{sj})")
-    cigar = list(zip(_OPS[ops[:n]][::-1].tolist(),
-                     lens[:n][::-1].tolist()))
-    return cigar, int(ij[0]), int(ij[1])
+    return ops[:n], lens[:n], int(ij[0]), int(ij[1]), int(ij[2])
+
+
+def traceback(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
+              mode: int, lt: int = 1 << 30):
+    """Native traceback walk; same contract as kernels.dp.traceback.
+    Returns (cigar, end_i, end_j) or raises RuntimeError on band escape."""
+    ops, lens, ei, ej, _m = _traceback_raw(dirs, off, si, sj, mode, lt)
+    cigar = list(zip(_OPS[ops][::-1].tolist(), lens[::-1].tolist()))
+    return cigar, ei, ej
 
 
 def traceback_arrays(dirs: np.ndarray, off: np.ndarray, si: int, sj: int,
-                     mode: int):
-    """traceback returning the array cigar form (ops uint8, lens int32)
-    in forward order — skips the per-run tuple-list build."""
-    lib = load()
-    dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
-    off = np.ascontiguousarray(off, dtype=np.int32)
-    cap = si + sj + 2
-    ops = np.empty(cap, dtype=np.uint8)
-    lens = np.empty(cap, dtype=np.int32)
-    ij = np.empty(2, dtype=np.int32)
-    n = lib.telr_traceback(dirs.ctypes.data, dirs.shape[1], off.ctypes.data,
-                           si, sj, mode, ops.ctypes.data, lens.ctypes.data,
-                           cap, ij.ctypes.data)
-    if n < 0:
-        raise RuntimeError(f"traceback left the band from ({si},{sj})")
-    return ((ops[:n][::-1].copy(), lens[:n][::-1].copy()),
-            int(ij[0]), int(ij[1]))
+                     mode: int, lt: int = 1 << 30):
+    """traceback returning the array cigar form (ops uint8, lens int32) in
+    forward order plus the walk's minimum constraining-band-edge margin —
+    skips the per-run tuple-list build."""
+    ops, lens, ei, ej, margin = _traceback_raw(dirs, off, si, sj, mode, lt)
+    return (ops[::-1].copy(), lens[::-1].copy()), ei, ej, margin
 
 
 _OP_CODE = {"M": 0, "D": 1, "I": 2}

@@ -377,14 +377,16 @@ def banded_dp_batch(q, t, off, qlen, tlen, *, width, mode, params_tuple):
 # ---------------------------------------------------------------------------
 
 def traceback(dirs: np.ndarray, off: np.ndarray, start_i: int, start_j: int,
-              mode: int) -> Tuple[List[Tuple[str, int]], int, int]:
+              mode: int, lt: int = 1 << 30
+              ) -> Tuple[List[Tuple[str, int]], int, int]:
     """Walk direction bits from cell (start_i, start_j) back to the alignment
     start.  Returns (cigar ops as (op, len) in forward order, end_i, end_j)
     where (end_i, end_j) is the matrix cell where the alignment begins
     (always (0,0) for GLOBAL/EXTEND)."""
     if _native_walks():
         from telr_tpu.io import native
-        return native.traceback(dirs, off, int(start_i), int(start_j), mode)
+        return native.traceback(dirs, off, int(start_i), int(start_j),
+                                mode, lt)
     ops: List[Tuple[str, int]] = []
     i, j = int(start_i), int(start_j)
 
@@ -500,11 +502,13 @@ def _finish_pair(dirs, gscore, best, besti, bestp, off_pad, lq, lt, mode,
     out["qend"], out["tend"] = si, sj
     if want_cigar:
         if cigar_arrays:
-            arr, ei, ej = traceback_arrays(np.asarray(dirs), off_pad,
-                                           si, sj, mode)
+            arr, ei, ej, margin = traceback_arrays(
+                np.asarray(dirs), off_pad, si, sj, mode, lt)
             out["cigar"] = arr
+            out["band_margin"] = margin
         else:
-            arr, ei, ej = traceback(np.asarray(dirs), off_pad, si, sj, mode)
+            arr, ei, ej = traceback(np.asarray(dirs), off_pad, si, sj,
+                                    mode, lt)
             out["cigar"] = arr
         out["qstart"], out["tstart"] = ei, ej
     return out
@@ -567,14 +571,17 @@ def cigar_arrays_stats(arr) -> Tuple[int, int, int, int]:
 
 
 def traceback_arrays(dirs: np.ndarray, off: np.ndarray, start_i: int,
-                     start_j: int, mode: int):
-    """traceback returning the array cigar form (no per-run tuple list)."""
+                     start_j: int, mode: int, lt: int = 1 << 30):
+    """traceback returning the array cigar form (no per-run tuple list)
+    plus the walk's minimum constraining-band-edge margin (W on the
+    non-native fallback: no retry signal, band sizing is conservative
+    there anyway)."""
     if _native_walks():
         from telr_tpu.io import native
         return native.traceback_arrays(dirs, off, int(start_i),
-                                       int(start_j), mode)
+                                       int(start_j), mode, lt)
     ops, ei, ej = traceback(dirs, off, start_i, start_j, mode)
-    return cigar_to_arrays(ops), ei, ej
+    return cigar_to_arrays(ops), ei, ej, int(dirs.shape[1])
 
 
 def align_pair(q: np.ndarray, t: np.ndarray, mode: int, params: DPParams,

@@ -168,7 +168,7 @@ class Aligner:
     # ------------------------------------------------------------------
     # piece construction: the three independent DP jobs of one chain
     def _chain_pieces(self, codes: np.ndarray, chain: Chain, s_id: int,
-                      strand: int):
+                      strand: int, width_floor: int = 128):
         pre = self.preset
         qlen = len(codes)
         tname = self.index.seq_names[s_id]
@@ -195,7 +195,18 @@ class Aligner:
             link_jump = windowed_offset_jump(chain.qpos, chain.tpos)
         else:
             link_dt = link_jump = 0
-        wneed = int(max(256, link_dt + 160, link_jump + 160))
+        # the band tracks the interpolated anchor path, so it must contain
+        # (a) the measured offset excursion between nearby anchors
+        # (link_jump: an insertion bends the path by its full length) and
+        # (b) the path's wobble INSIDE the largest anchor gap, where no
+        # anchor pins the interpolation — bounded by half the gap in the
+        # worst case but tiny in practice (random indel walk).  Sizing for
+        # the practical case (jump + 96, link_dt/2 + 32) instead of the
+        # worst (link_dt + 160) halves the DP cells of a typical read;
+        # walks that touch a constraining band edge are retried at 4x by
+        # map_batch_grouped, so the adversarial case costs a retry, not
+        # correctness
+        wneed = int(max(width_floor, link_jump + 96, link_dt // 2 + 32))
         width = min(dp._bucket(wneed), 2048)
 
         pieces = {}
@@ -407,38 +418,116 @@ def _par_map_worker(bounds):
     return [res.get(n, []) for n in names[lo:hi]]
 
 
-def map_batch_grouped(
-    groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],
-    max_hits: Optional[int] = None,
-) -> List[Dict[str, List[Alignment]]]:
-    """Map many (aligner, queries) groups with ONE pooled DP dispatch.
+_EXT_CHUNK = 512       # query bases per extension round
+_EXT_SLACK = 192       # extra target per round (net-deletion headroom)
+_EXT_CONT_MARGIN = 64  # path must reach this close to the chunk end to
+                       # continue — the z-drop analogue: junk extensions
+                       # (secondary repeat hits) die after one cheap round
+_EXT_DIRECT_MAX = 768  # extensions at most this long skip the chunking
 
-    This is the cross-locus batching the reference gets from its
-    multiprocessing fan-outs (TELR_assembly.py:70-73, TELR_te.py:644-648):
-    every chain-region/extension DP from every group lands in the same
-    (params, mode, width) bucket, so a polish round over hundreds of loci
-    issues a handful of padded wavefront kernel launches instead of one
-    host dispatch per locus.  Returns one result dict per group, exactly
-    what each group's `map_batch` would return."""
-    jobs = []  # (group_idx, qname, codes, chain, s_id, st, primary,
-    #            geom, pieces)
-    for gi, (al, queries) in enumerate(groups):
-        for qname, codes in queries.items():
-            for chain, s_id, st, primary in al._plan(codes):
-                pieces, geom = al._chain_pieces(codes, chain, s_id, st)
-                jobs.append((gi, qname, codes, chain, s_id, st, primary,
-                             geom, pieces))
 
-    piece_results = [dict() for _ in jobs]
+def _run_ext_round_cpu(jobs, runner=None):
+    items = [(q, t, dp.EXTEND, params, None, None) for q, t, params in jobs]
+    return dp.align_pairs(items, runner=runner, cigar_arrays=True)
+
+
+def _run_ext_round_wave(jobs, interpret=False):
+    from telr_tpu.kernels.pallas_wavefront import wavefront_align
+    out = [None] * len(jobs)
+    by_params: Dict[tuple, list] = {}
+    for i, (q, t, params) in enumerate(jobs):
+        by_params.setdefault(params.tuple(), []).append((i, q, t))
+    for ptuple, items in by_params.items():
+        res = wavefront_align([(q, t) for _, q, t in items], 128,
+                              dp.EXTEND, dp.DPParams(*ptuple),
+                              interpret=interpret)
+        for (i, *_r), r in zip(items, res):
+            out[i] = r
+    return out
+
+
+def _extend_chunked(ext_items, run_round):
+    """Greedy chunked EXTEND alignment over many (q, t, params) items.
+
+    One full-length extension DP costs len(q) x W where W must contain the
+    whole rectangle's diagonal drift (the 500bp deletion slack pushes it to
+    1024); measured at genome scale these pieces are 75% of all DP cells,
+    and most belong to secondary repeat hits whose extension dies within a
+    few hundred bases.  Chunked greedy extension (the batched analogue of
+    minimap2's z-drop early stop) runs rounds of 512-query-base EXTEND DPs
+    across ALL items, continuing an item only while its best path reaches
+    within 64 of the chunk end.  Returns align_pair-style EXTEND results
+    with array cigars.  run_round: callback mapping a list of
+    (q, t, params) chunk jobs to align_pair-style results (CPU batch or
+    wavefront kernel launch)."""
+    n = len(ext_items)
+    state = [{"qoff": 0, "toff": 0, "score": 0,
+              "cigar": (np.zeros(0, np.uint8), np.zeros(0, np.int32)),
+              "done": False} for _ in range(n)]
+    pending = list(range(n))
+    while pending:
+        jobs, slots = [], []
+        for i in pending:
+            q, t, params = ext_items[i]
+            s = state[i]
+            qc = q[s["qoff"]:s["qoff"] + _EXT_CHUNK]
+            tc = t[s["toff"]:s["toff"] + _EXT_CHUNK + _EXT_SLACK]
+            if len(qc) == 0 or len(tc) == 0:
+                s["done"] = True
+                continue
+            jobs.append((qc, tc, params))
+            slots.append(i)
+        if not jobs:
+            break
+        results = run_round(jobs)
+        nxt = []
+        for i, res in zip(slots, results):
+            s = state[i]
+            q, t, params = ext_items[i]
+            chunk_q = min(_EXT_CHUNK, len(q) - s["qoff"])
+            if not res.get("failed") and res["score"] > 0 \
+                    and res["qend"] > 0:
+                s["score"] += res["score"]
+                s["qoff"] += res["qend"]
+                s["toff"] += res["tend"]
+                s["cigar"] = dp.merge_cigar_arrays(
+                    s["cigar"], dp.cigar_to_arrays(res["cigar"]))
+                if (res["qend"] >= chunk_q - _EXT_CONT_MARGIN
+                        and s["qoff"] < len(q) and s["toff"] < len(t)):
+                    nxt.append(i)
+                    continue
+            s["done"] = True
+        pending = nxt
+    return [{"score": s["score"], "cigar": s["cigar"], "qend": s["qoff"],
+             "tend": s["toff"], "qstart": 0, "tstart": 0}
+            for s in state]
+
+
+def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
+    """Run the DP for every piece of the given jobs (all by default),
+    filling piece_results[ji][tag].  Pools work across jobs into bucketed
+    batches: wavefront kernel launches on the device path, chunked native
+    batches on the CPU path."""
     wave_buckets: Dict[tuple, list] = {}
     cpu_items: list = []    # align_pairs inputs
     cpu_slots: list = []    # (job_idx, tag) per input
+    ext_items: list = []    # long extensions -> chunked scheduler (CPU)
+    ext_slots: list = []
+    wave_ext_items: list = []   # same, wavefront backend
+    wave_ext_slots: list = []
+    wave_interp = False
     runner = None
-    for ji, (gi, *_x, pieces) in enumerate(jobs):
+    for ji in (range(len(jobs)) if job_ids is None else job_ids):
+        (gi, *_x, pieces) = jobs[ji]
         al = groups[gi][0]
         params = al._params()
         if al.use_wavefront:
             for tag, (q, t, mode, width, guide) in pieces.items():
+                if mode == dp.EXTEND and len(q) > _EXT_DIRECT_MAX:
+                    wave_ext_items.append((q, t, params))
+                    wave_ext_slots.append((ji, tag))
+                    wave_interp = al._wave_interpret
+                    continue
                 wave_w = max(128, (width or 256) // 2)
                 # quantize to {128, 512, 2048}: every distinct width is a
                 # separate kernel trace/compile AND a separate dispatch
@@ -458,18 +547,34 @@ def map_batch_grouped(
                 from telr_tpu.dist.exec import sharded_dp_runner
                 runner = sharded_dp_runner(al.mesh)
             for tag, (q, t, mode, width, guide) in pieces.items():
-                if guide is not None and width is not None and len(q) \
+                if mode == dp.EXTEND and len(q) > _EXT_DIRECT_MAX:
+                    ext_items.append((q, t, params))
+                    ext_slots.append((ji, tag))
+                elif guide is not None and width is not None and len(q) \
                         and len(t):
                     off = dp.offsets_from_path(len(q), len(t), width,
                                                guide[0], guide[1])
                     cpu_items.append((q, t, mode, params, width, off))
+                    cpu_slots.append((ji, tag))
                 else:
                     cpu_items.append((q, t, mode, params, width, None))
-                cpu_slots.append((ji, tag))
+                    cpu_slots.append((ji, tag))
     if cpu_items:
         for (ji, tag), res in zip(cpu_slots,
                                   dp.align_pairs(cpu_items, runner=runner,
                                                  cigar_arrays=True)):
+            piece_results[ji][tag] = res
+    if ext_items:
+        import functools
+        run = functools.partial(_run_ext_round_cpu, runner=runner)
+        for (ji, tag), res in zip(ext_slots,
+                                  _extend_chunked(ext_items, run)):
+            piece_results[ji][tag] = res
+    if wave_ext_items:
+        import functools
+        run = functools.partial(_run_ext_round_wave, interpret=wave_interp)
+        for (ji, tag), res in zip(wave_ext_slots,
+                                  _extend_chunked(wave_ext_items, run)):
             piece_results[ji][tag] = res
     if wave_buckets:
         from telr_tpu.kernels.pallas_wavefront import wavefront_align
@@ -482,18 +587,95 @@ def map_batch_grouped(
             for (ji, tag, *_r), r in zip(items, res):
                 piece_results[ji][tag] = r
 
-    # assemble + per-query postprocess per group (order preserved)
+
+_REGION_WIDTH_CAP = 2048
+
+
+def map_batch_grouped(
+    groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],
+    max_hits: Optional[int] = None,
+) -> List[Dict[str, List[Alignment]]]:
+    """Map many (aligner, queries) groups with ONE pooled DP dispatch.
+
+    This is the cross-locus batching the reference gets from its
+    multiprocessing fan-outs (TELR_assembly.py:70-73, TELR_te.py:644-648):
+    every chain-region/extension DP from every group lands in the same
+    (params, mode, width) bucket, so a polish round over hundreds of loci
+    issues a handful of padded wavefront kernel launches instead of one
+    host dispatch per locus.  Returns one result dict per group, exactly
+    what each group's `map_batch` would return.
+
+    Region DPs start at a narrow anchor-guided band (width floor 128) and
+    are retried at 4x width when the traceback path touches a constraining
+    band edge (band_margin 0 — the band likely clipped the optimal path),
+    when the walk corrupts (geometry mismatch / band escape), or when the
+    DP found no in-band path.  The retry re-runs the region piece only."""
+    jobs = []  # [group_idx, qname, codes, chain, s_id, st, primary,
+    #            geom, pieces]
+    for gi, (al, queries) in enumerate(groups):
+        for qname, codes in queries.items():
+            for chain, s_id, st, primary in al._plan(codes):
+                pieces, geom = al._chain_pieces(codes, chain, s_id, st)
+                jobs.append([gi, qname, codes, chain, s_id, st, primary,
+                             geom, pieces])
+
+    piece_results = [dict() for _ in jobs]
+    _dispatch_pieces(groups, jobs, piece_results)
+
+    # assemble + per-query postprocess per group (order preserved);
+    # jobs whose region band proved too narrow get one retry round
     per_group: List[Dict[str, List[Alignment]]] = [
         {q: [] for q in queries} for _, queries in groups]
-    for ji, (gi, qname, codes, chain, s_id, st, primary, geom, _p) in \
-            enumerate(jobs):
+    slots: List[Tuple[int, str, int]] = []  # (gi, qname, slot index)
+    alns_by_job: List[Optional[Alignment]] = [None] * len(jobs)
+
+    def _try_assemble(ji) -> Tuple[Optional[Alignment], bool]:
+        """(alignment, wants_retry)."""
+        (gi, qname, codes, chain, s_id, st, primary, geom, pieces) = jobs[ji]
         al = groups[gi][0]
+        res = piece_results[ji]
+        region = res.get("region")
         try:
             aln = al._assemble_chain(qname, codes, chain, s_id, st,
-                                     primary, geom, piece_results[ji])
+                                     primary, geom, res)
         except RuntimeError:
             aln = None
-        per_group[gi][qname].append(aln)
+        if aln is not None and region is not None and \
+                region.get("band_margin", 8) >= 4:
+            return aln, False
+        # failed, or the region walk hugged the band edge: retry wider
+        # when the region piece has headroom (device path quantizes its
+        # own widths and reports no margin — no retry there)
+        if "region" in pieces and not al.use_wavefront:
+            width = pieces["region"][3] or 0
+            if width and width < min(_REGION_WIDTH_CAP,
+                                     dp._bucket(len(pieces["region"][1]))):
+                return aln, True
+        return aln, False
+
+    retry_ids = []
+    for ji in range(len(jobs)):
+        aln, wants_retry = _try_assemble(ji)
+        alns_by_job[ji] = aln
+        if wants_retry:
+            retry_ids.append(ji)
+
+    if retry_ids:
+        for ji in retry_ids:
+            (gi, qname, codes, chain, s_id, st, primary, geom,
+             pieces) = jobs[ji]
+            al = groups[gi][0]
+            q, t, mode, width, guide = pieces["region"]
+            new_w = min(dp._bucket(width * 4),
+                        min(_REGION_WIDTH_CAP, dp._bucket(len(t) + 1)))
+            jobs[ji][8] = {"region": (q, t, mode, new_w, guide)}
+        _dispatch_pieces(groups, jobs, piece_results, retry_ids)
+        for ji in retry_ids:
+            aln, _ = _try_assemble(ji)
+            alns_by_job[ji] = aln
+
+    for ji, (gi, qname, *_rest) in enumerate(jobs):
+        per_group[gi][qname].append(alns_by_job[ji])
     return [
         {qname: groups[gi][0]._postprocess(alns, max_hits)
          for qname, alns in result.items()}
