@@ -372,6 +372,19 @@ class Aligner:
         Falls back to map_batch under a device path (wavefront/mesh own
         the batching there) or single-process requests."""
         from telr_tpu.io import native
+        if (processes > 1 and len(queries) >= 2 * processes
+                and self.use_wavefront and self.mesh is None
+                and native.available()):
+            # device path: fork-parallelize the HOST PLANNING only
+            # (seeding/chaining — numpy + native C++, no XLA in the
+            # workers); the device DP dispatch stays in the parent.
+            # Without this the TPU path plans single-threaded and the
+            # host tail dominates the stage (PROFILE_STAGES r3:
+            # alignment 37.6s wall vs 2.0s device on the bundled run).
+            plans = self._plan_parallel(queries, processes)
+            return map_batch_grouped([(self, queries)],
+                                     max_hits=max_hits,
+                                     plans=[plans])[0]
         if (processes <= 1 or len(queries) < 2 * processes
                 or self.use_wavefront or self.mesh is not None
                 # forked workers must stay off XLA: fork after jax init
@@ -407,6 +420,33 @@ class Aligner:
         return out
 
 
+    # ------------------------------------------------------------------
+    def _plan_parallel(self, queries: Dict[str, np.ndarray],
+                       processes: int) -> Dict[str, list]:
+        """Fork-pool fan-out of _plan over the query set.  Workers touch
+        only numpy + the native engine (fork-after-jax is safe as long as
+        the children never enter XLA; empirically validated on the axon
+        backend).  Returns {qname: picked chain list}."""
+        import multiprocessing as mp
+        names = list(queries)
+        n = len(names)
+        chunk = -(-n // processes)
+        bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+        global _PAR_STATE
+        _PAR_STATE = (self, names, queries, None)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(len(bounds)) as pool:
+                parts = pool.map(_par_plan_worker, bounds)
+        finally:
+            _PAR_STATE = None
+        out: Dict[str, list] = {}
+        for (lo, hi), part in zip(bounds, parts):
+            for name, picked in zip(names[lo:hi], part):
+                out[name] = picked
+        return out
+
+
 _PAR_STATE = None
 
 
@@ -416,6 +456,12 @@ def _par_map_worker(bounds):
     sub = {n: queries[n] for n in names[lo:hi]}
     res = aligner.map_batch(sub, max_hits=max_hits)
     return [res.get(n, []) for n in names[lo:hi]]
+
+
+def _par_plan_worker(bounds):
+    lo, hi = bounds
+    aligner, names, queries, _ = _PAR_STATE
+    return [aligner._plan(queries[n]) for n in names[lo:hi]]
 
 
 _EXT_CHUNK = 512       # query bases per extension round
@@ -594,6 +640,7 @@ _REGION_WIDTH_CAP = 2048
 def map_batch_grouped(
     groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],
     max_hits: Optional[int] = None,
+    plans: Optional[List[Dict[str, list]]] = None,
 ) -> List[Dict[str, List[Alignment]]]:
     """Map many (aligner, queries) groups with ONE pooled DP dispatch.
 
@@ -613,8 +660,11 @@ def map_batch_grouped(
     jobs = []  # [group_idx, qname, codes, chain, s_id, st, primary,
     #            geom, pieces]
     for gi, (al, queries) in enumerate(groups):
+        gplans = plans[gi] if plans is not None else None
         for qname, codes in queries.items():
-            for chain, s_id, st, primary in al._plan(codes):
+            picked = (gplans[qname] if gplans is not None
+                      else al._plan(codes))
+            for chain, s_id, st, primary in picked:
                 pieces, geom = al._chain_pieces(codes, chain, s_id, st)
                 jobs.append([gi, qname, codes, chain, s_id, st, primary,
                              geom, pieces])
