@@ -148,6 +148,82 @@ class _PackedLocus:
                 _bucket(self.qcodes.shape[1], 2048), _bucket(self.n, 2048))
 
 
+_INS_CONSENSUS_MAX = 400   # events longer than this keep the representative
+                           # read segment (they are whole-TE splices from a
+                           # non-spanning backbone, individually alignable)
+
+
+def _ins_event_consensus(seqs: List[np.ndarray]) -> np.ndarray:
+    """Consensus of one insertion event's supporting sequences.
+
+    The former rule spliced the median-length supporter VERBATIM — raw
+    read bases, so every junction-adjacent event inherited that read's
+    error rate (~12% on ONT), which is exactly where TSD bases live
+    (reference wtpoa-cns computes a POA consensus here,
+    TELR_assembly.py:225-247).  Column vote: align every supporter to the
+    median-length representative (tiny global DPs), vote M-run bases and
+    deletions per column, restore sub-majority-deleted columns by nested
+    insertion majority."""
+    if len(seqs) == 1:
+        return seqs[0].astype(np.int8)
+    from collections import Counter
+    counts = Counter(s.tobytes() for s in seqs)
+    top, cnt = counts.most_common(1)[0]
+    if 2 * cnt > len(seqs):
+        return np.frombuffer(top, dtype=np.int8).copy()
+    lens = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    rep = seqs[lens[len(lens) // 2]].astype(np.int8)
+    if len(rep) > _INS_CONSENSUS_MAX or len(rep) == 0:
+        return rep
+    from telr_tpu.kernels import dp
+    params = dp.DPParams()
+    n = len(rep)
+    votes = np.zeros((n, 5), dtype=np.int32)
+    delv = np.zeros(n, dtype=np.int32)
+    cov = np.zeros(n, dtype=np.int32)
+    nested: Dict[int, List[np.ndarray]] = {}
+    items = [(s.astype(np.int8), rep, dp.GLOBAL, params, None, None)
+             for s in seqs]
+    for s, res in zip(seqs, dp.align_pairs(items, cigar_arrays=True)):
+        qi = tj = 0
+        ops, ls = dp.cigar_to_arrays(res["cigar"])
+        for op, ln in zip(ops.tolist(), ls.tolist()):
+            if op == 0:    # M
+                votes[np.arange(tj, tj + ln),
+                      s[qi:qi + ln].astype(np.int64)] += 1
+                cov[tj:tj + ln] += 1
+                qi += ln
+                tj += ln
+            elif op == 1:  # D
+                delv[tj:tj + ln] += 1
+                cov[tj:tj + ln] += 1
+                tj += ln
+            else:          # I
+                js, sq = leftshift_ins(rep, tj, s[qi:qi + ln])
+                nested.setdefault(js, []).append(sq)
+                qi += ln
+    col = np.arange(n)
+    bb = rep.astype(np.int64)
+    best = votes.argmax(axis=1)
+    best = np.where(votes[col, best] == votes[col, bb], bb, best)
+    best = np.where(votes.sum(axis=1) == 0, bb, best).astype(np.int8)
+    keep = ~(delv * 2 > cov)
+    parts: List[np.ndarray] = []
+    prev = 0
+    for j in sorted(nested):
+        sqs = nested[j]
+        if 2 * len(sqs) <= int(cov[j] if j < n else len(seqs)):
+            continue
+        jl = sorted(len(x) for x in sqs)
+        med = jl[len(jl) // 2]
+        sq = min(sqs, key=lambda x: abs(len(x) - med))
+        parts.append(best[prev:j][keep[prev:j]])
+        parts.append(sq.astype(np.int8))
+        prev = j
+    parts.append(best[prev:][keep[prev:]])
+    return np.concatenate(parts).astype(np.int8)
+
+
 def finalize_consensus(backbone: np.ndarray, best: np.ndarray,
                        keep: np.ndarray, cov: np.ndarray,
                        ins_seqs: Dict[int, List[np.ndarray]],
@@ -167,10 +243,7 @@ def finalize_consensus(backbone: np.ndarray, best: np.ndarray,
             continue
         seqs = ins_seqs[j]
         if 2 * len(seqs) > int(cov[j]):
-            lens = sorted(len(s) for s in seqs)
-            med = lens[len(lens) // 2]
-            rep = min(seqs, key=lambda s: abs(len(s) - med))
-            events.append((j, rep.astype(np.int8)))
+            events.append((j, _ins_event_consensus(seqs)))
         else:
             weak.append(j)
     # adjacent-column pooling of sub-majority insertions: a deleted
@@ -192,10 +265,8 @@ def finalize_consensus(backbone: np.ndarray, best: np.ndarray,
                 seqs = [s for c in cluster for s in ins_seqs[c]]
                 jm = cluster[len(cluster) // 2]
                 if 3 * len(seqs) > 2 * int(cov[jm]):
-                    lens = sorted(len(s) for s in seqs)
-                    med = lens[len(lens) // 2]
-                    rep = min(seqs, key=lambda s: abs(len(s) - med))
-                    events.append((cluster[0], rep.astype(np.int8)))
+                    events.append((cluster[0],
+                                   _ins_event_consensus(seqs)))
             cluster = []
         if j < hi:
             cluster.append(j)
