@@ -272,6 +272,40 @@ def redistribute_payloads_mp(
     return got
 
 
+def exchange_bytes_mp(
+    mesh: Mesh,
+    per_dst: Sequence[bytes],
+    chunk: int = 4 << 20,
+    max_bytes: int = 256 << 20,
+) -> List[bytes]:
+    """Generic multi-process byte all-to-all over the device collective.
+
+    per_dst[d] = the blob THIS process sends to process d (len == P).
+    Returns the list of blobs this process received, indexed by source.
+    Implemented on redistribute_payloads_mp by encoding the destination as
+    the routed key (owner_of(d, P) == d), the chunk sequence number as the
+    rank and the source pid as the kind; the chunked rounds bound resident
+    bytes exactly like the read-payload path."""
+    import jax
+    n = int(mesh.shape[READS_AXIS])
+    pid = jax.process_index()
+    items: List[Tuple[int, int, int, np.ndarray]] = []
+    for d, blob in enumerate(per_dst):
+        arr = np.frombuffer(blob, dtype=np.uint8).view(np.int8)
+        if len(arr) == 0:
+            items.append((d, 0, pid, arr))
+            continue
+        for seq, off in enumerate(range(0, len(arr), chunk)):
+            items.append((d, seq, pid, arr[off:off + chunk]))
+    got = redistribute_payloads_mp(mesh, items, max_bytes=max_bytes)
+    # got is sorted by (dst=pid, src, seq) — reassemble per source
+    parts: Dict[int, List[np.ndarray]] = {}
+    for _d, _seq, src, codes in got:
+        parts.setdefault(src, []).append(codes)
+    return [b"".join(c.view(np.uint8).tobytes() for c in parts.get(s, []))
+            for s in range(n)]
+
+
 def redistribute_payloads(
     mesh: Mesh,
     items_per_shard: Sequence[Sequence[Tuple[int, int, int, np.ndarray]]],

@@ -84,7 +84,9 @@ def run_pipeline_multiprocess(
     from telr_tpu.config import default_config
     from telr_tpu.core.alignstore import AlignmentStore
     from telr_tpu.dist.mesh import READS_AXIS
-    from telr_tpu.dist.redistribute import redistribute_payloads_mp
+    from telr_tpu.dist.redistribute import (exchange_bytes_mp,
+                                            redistribute_payloads_mp)
+    from telr_tpu.dist.regions import RegionMap
     from telr_tpu.io.fasta import read_fasta
     from telr_tpu.io.seqs import SeqDict, Sequence
     from telr_tpu.kernels.mapper import Aligner
@@ -134,64 +136,120 @@ def run_pipeline_multiprocess(
         local_store = AlignmentStore(local_alns)
 
     with timed("sv_detection"):
-        # signatures come from LOCAL reads (they need sequence access);
-        # clustering needs the full evidence, so gather alignment records
-        # + signatures, both canonically sorted for determinism
+        # Region-sharded evidence exchange (SURVEY §2c halo exchange, not
+        # full replication): the genome is split into P contiguous regions
+        # balanced by bases; each process routes its alignment RECORDS,
+        # signatures and junction-read codes to the region(s) their span
+        # (± halo) overlaps, then clusters ONLY its own genome slice.
+        # Records (tiny) are all-gathered afterwards; the former pickle
+        # allgather of every alignment to every process grew sv_detection
+        # 3.0s -> 10.9s at just P=2 (SCALING_r03) and was a wall at P=16.
         local_sigs = extract_signatures(local_store, local_reads,
                                         config.sv)
-        all_alns = [a for part in _allgather_obj(local_alns) for a in part]
-        all_alns.sort(key=_aln_key)
-        store = AlignmentStore(all_alns)
-        all_sigs = [s for part in _allgather_obj(local_sigs)
-                    for s in part]
-        # junction-read codes travel with the gather: stitching a junction
-        # pair needs the two reads' full codes (sv/detect.py
-        # _stitch_junctions); only jr/jl readers qualify, a tiny subset
-        jnames = {s.read for s in local_sigs if s.kind != "ins"}
-        jlocal = {n: local_reads[n].codes for n in jnames
-                  if n in local_reads}
+        regions = RegionMap(reference, P)
+        send_alns: List[list] = [[] for _ in range(P)]
+        for a in local_alns:
+            for d in regions.dests_for_span(a.tname, a.tstart, a.tend):
+                send_alns[d].append(a)
+        send_sigs: List[list] = [[] for _ in range(P)]
+        jnames_by_dst: List[set] = [set() for _ in range(P)]
+        for s in local_sigs:
+            for d in regions.dests_for_span(s.tname, s.tpos, s.tpos + 1):
+                send_sigs[d].append(s)
+                # junction-pair stitching needs the clipped reads' codes
+                # (sv/detect.py _stitch_junctions)
+                if s.kind != "ins":
+                    jnames_by_dst[d].add(s.read)
+        blobs = [pickle.dumps(
+            (send_alns[d], send_sigs[d],
+             {nm: local_reads[nm].codes
+              for nm in sorted(jnames_by_dst[d]) if nm in local_reads}))
+            for d in range(P)]
+        recv = exchange_bytes_mp(mesh, blobs)
+        region_alns: list = []
+        region_sigs: list = []
         jreads = SeqDict()
-        for part in _allgather_obj(jlocal):
-            for n, codes in sorted(part.items()):
-                if n not in jreads:
-                    jreads.add(Sequence(name=n, codes=codes))
-        records = cluster_signatures(all_sigs, store, config.sv,
-                                     sample_name, reads=jreads)
+        for blob in recv:
+            alns_part, sigs_part, jpart = pickle.loads(blob)
+            region_alns.extend(alns_part)
+            region_sigs.extend(sigs_part)
+            for nm in sorted(jpart):
+                if nm not in jreads:
+                    jreads.add(Sequence(name=nm, codes=jpart[nm]))
+        region_alns.sort(key=_aln_key)
+        # the region-local store: complete for every positional fetch
+        # within ± halo of this region (genotype DR, voter windows, AF)
+        store = AlignmentStore(region_alns)
+        my_records = cluster_signatures(region_sigs, store, config.sv,
+                                        sample_name, reads=jreads)
+        # keep clusters anchored inside MY region (halo-side duplicates
+        # of a neighbour's clusters are dropped symmetrically)
+        my_records = [r for r in my_records
+                      if regions.region_of(r.chrom, r.start) == pid]
+        # gather the per-region records (tiny) and renumber sv_id in the
+        # global canonical order: disjoint cluster position ranges make
+        # (chrom, start) reproduce the single-process emission order
+        records = [r for part in _allgather_obj(my_records) for r in part]
+        records.sort(key=lambda r: (r.chrom, r.start, r.length))
+        for k, rec in enumerate(records):
+            rec.sv_id = str(k)
 
     loci_eval = LociEval()
     with timed("te_filter"):
-        records = filter_te_candidates(records, library, loci_eval,
-                                       use_wavefront=config.use_wavefront)
+        # owner-parallel TE-homology filtering: each record's outcome
+        # depends only on its own INS seq, so each process filters its
+        # region's records and the survivors (with te fields set) are
+        # re-gathered in sv_id order
+        mine = [r for r in records
+                if regions.region_of(r.chrom, r.start) == pid]
+        mine = filter_te_candidates(mine, library, loci_eval,
+                                    use_wavefront=config.use_wavefront)
+        records = [r for part in _allgather_obj(mine) for r in part]
+        records.sort(key=lambda r: int(r.sv_id))
         records = merge_nearby_records(records, config.sv.merge_window)
 
     with timed("locus_redistribute"):
         # voters = AF-window reads (superset of the assembly voters: every
-        # read with any alignment in the +-window, minus support)
-        voter_names: Dict[str, List[str]] = {}
+        # read with any alignment in the +-window, minus support).  Only
+        # the region owner can resolve them (its store covers the locus
+        # windows); the NAME lists are all-gathered so every process can
+        # route the payloads of the reads it holds.
+        my_voters: Dict[str, List[str]] = {}
         for rec in records:
+            if regions.region_of(rec.chrom, rec.start) != pid:
+                continue
             support = set(rec.reads)
             near = store.fetch_read_names(
                 rec.chrom, max(0, rec.start - config.assembly.window),
                 rec.end + config.assembly.window)
-            voter_names[rec.locus_name] = sorted(set(near) - support)
+            my_voters[rec.locus_name] = sorted(set(near) - support)
+        voter_names = {}
+        for part in _allgather_obj(my_voters):
+            voter_names.update(part)
+        # payload routing key: owner is the REGION owner, encoded so that
+        # key % P == owner (the redistribute contract) and li = key // P
         items = []
         name_of: Dict[tuple, str] = {}
+        owner_of_li: Dict[int, int] = {}
         for li, rec in enumerate(records):
+            owner_of_li[li] = regions.region_of(rec.chrom, rec.start)
+            key = li * P + owner_of_li[li]
             for kind, names in ((0, rec.reads),
                                 (1, voter_names[rec.locus_name])):
                 for rank, rn in enumerate(names):
                     name_of[(li, rank, kind)] = rn
                     if rn in local_reads:
-                        items.append((li, rank, kind,
+                        items.append((key, rank, kind,
                                       local_reads[rn].codes))
         got = redistribute_payloads_mp(mesh, items)
         shard_reads = SeqDict()
-        for li, rank, kind, codes in got:
-            rn = name_of[(li, rank, kind)]
+        for key, rank, kind, codes in got:
+            rn = name_of[(key // P, rank, kind)]
             if rn not in shard_reads:
                 shard_reads.add(Sequence(name=rn, codes=codes))
 
-    owned = [(li, rec) for li, rec in enumerate(records) if li % P == pid]
+    owned = [(li, rec) for li, rec in enumerate(records)
+             if owner_of_li[li] == pid]
     own_recs = [rec for _li, rec in owned]
 
     with timed("assembly"):

@@ -97,7 +97,9 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--bundled", action="store_true",
                     help="use the bundled 38kb dataset (identity only)")
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r03.json"))
+    ap.add_argument("--procs", type=int, default=2,
+                    help="process count of the multi-process run")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
     a = ap.parse_args()
 
     if a.bundled:
@@ -130,21 +132,22 @@ def main() -> None:
         [sys.executable, HERE, "worker", "1", "0", reads_fa, ref_fa,
          lib_fa, out1, "/tmp/telr_mp_1p.json", str(a.threads)],
         env=env, check=True)
-    print("== 2 processes (gloo DCN) ==", flush=True)
+    P = a.procs
+    print(f"== {P} processes (gloo DCN) ==", flush=True)
     procs = [subprocess.Popen(
-        [sys.executable, HERE, "worker", "2", str(p), reads_fa, ref_fa,
+        [sys.executable, HERE, "worker", str(P), str(p), reads_fa, ref_fa,
          lib_fa, out2, "/tmp/telr_mp_2p.json", str(a.threads)], env=env)
-        for p in range(2)]
+        for p in range(P)]
     for p in procs:
         if p.wait() != 0:
-            raise SystemExit("2-process worker failed")
+            raise SystemExit(f"{P}-process worker failed")
 
     mismatches = _compare_dirs(out1, out2)
     with open("/tmp/telr_mp_1p.json") as f:
         r1 = json.load(f)
     with open("/tmp/telr_mp_2p.json") as f:
         r2 = json.load(f)
-    eff = r1["wall_s"] / (2 * r2["wall_s"])
+    eff = r1["wall_s"] / (P * r2["wall_s"])
     align1 = r1["stage_seconds"].get("alignment", float("nan"))
     align2 = r2["stage_seconds"].get("alignment", float("nan"))
     out = {
@@ -152,13 +155,15 @@ def main() -> None:
         "threads_per_process": a.threads,
         "one_process": r1,
         "two_process": r2,
+        "procs": P,
         "pipeline_reads_per_s": {
             "1p": round(n_reads / r1["wall_s"], 2),
-            "2p": round(n_reads / r2["wall_s"], 2),
+            f"{P}p": round(n_reads / r2["wall_s"], 2),
         },
         "alignment_reads_per_s": {
             "1p": round(n_reads / align1, 2) if align1 == align1 else None,
-            "2p": round(n_reads / align2, 2) if align2 == align2 else None,
+            f"{P}p": round(n_reads / align2, 2) if align2 == align2
+            else None,
         },
         "scaling_efficiency": round(eff, 3),
         "bit_identical": not mismatches,
@@ -170,7 +175,7 @@ def main() -> None:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
     if mismatches:
-        raise SystemExit("output mismatch between 1p and 2p runs")
+        raise SystemExit(f"output mismatch between 1p and {P}p runs")
 
 
 if __name__ == "__main__":
