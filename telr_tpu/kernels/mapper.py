@@ -374,7 +374,7 @@ class Aligner:
         from telr_tpu.io import native
         if (processes > 1 and len(queries) >= 2 * processes
                 and self.use_wavefront and self.mesh is None
-                and native.available()):
+                and native.available() and _plan_fork_safe()):
             # device path: fork-parallelize the HOST PLANNING only
             # (seeding/chaining — numpy + native C++, no XLA in the
             # workers); the device DP dispatch stays in the parent.
@@ -445,6 +445,17 @@ class Aligner:
             for name, picked in zip(names[lo:hi], part):
                 out[name] = picked
         return out
+
+
+def _plan_fork_safe() -> bool:
+    """fork() is only safe for the plan pool when this process runs a pure
+    CPU jax runtime.  Under the axon (tunneled TPU) plugin the parent
+    DEADLOCKS on its first device dispatch after a fork — observed on the
+    bundled run: alignment hung >35 min forked vs 5 min serial, warm cache
+    retest reproduced it — so the TPU path plans serially and relies on
+    the chunked plan/dispatch overlap instead."""
+    import os
+    return not os.environ.get("PALLAS_AXON_POOL_IPS")
 
 
 _PAR_STATE = None
