@@ -19,6 +19,7 @@
 #include <cmath>
 #include <thread>
 #include <algorithm>
+#include <unordered_map>
 
 extern "C" {
 
@@ -340,6 +341,345 @@ int64_t telr_chain_extract(const double* f, const int64_t* parent, int64_t n,
     }
     return nchains;
 }
+
+}  // extern "C" — POA uses C++ containers internally
+
+// ---------------------------------------------------------------------------
+// banded partial-order consensus (the wtpoa-cns role,
+// reference TELR_assembly.py:225-247).
+//
+// The pileup vote (assembly/device_vote.py) converges to a ~94%-identity
+// fixed point on deletion-heavy ONT noise: bases missing from the BACKBONE
+// can only return through gated insertion events, and sub-threshold events
+// stay lost forever.  A partial-order graph has no backbone bias — every
+// read's variant becomes a node and the heaviest path is the consensus —
+// which is exactly why the reference polishes with wtpoa-cns.
+//
+// abPOA-style banding: every node carries an approximate backbone column;
+// a read (fit-aligned: read global, graph free at both ends) only visits
+// nodes whose column is within W of its expected position.  Topological
+// order is a doubly-linked list; new nodes insert right after their
+// alignment predecessor, which preserves order validity.
+// ---------------------------------------------------------------------------
+
+namespace poa {
+
+struct Edge { int32_t to; int32_t w; };
+
+struct Graph {
+    std::vector<int8_t> base;
+    std::vector<int32_t> col;       // approximate backbone column (band key)
+    std::vector<int32_t> nweight;   // read-path visits
+    std::vector<std::vector<Edge>> preds;   // incoming edges
+    std::vector<int32_t> nxt, prv;  // topo order linked list
+    int32_t head = -1, tail = -1;
+
+    int32_t add_node(int8_t b, int32_t c) {
+        base.push_back(b);
+        col.push_back(c);
+        nweight.push_back(0);
+        preds.push_back({});
+        nxt.push_back(-1);
+        prv.push_back(-1);
+        return (int32_t)base.size() - 1;
+    }
+    void insert_after(int32_t v, int32_t after) {
+        if (after < 0) {  // new head
+            nxt[v] = head; prv[v] = -1;
+            if (head >= 0) prv[head] = v;
+            head = v;
+            if (tail < 0) tail = v;
+            return;
+        }
+        nxt[v] = nxt[after]; prv[v] = after;
+        if (nxt[after] >= 0) prv[nxt[after]] = v;
+        nxt[after] = v;
+        if (after == tail) tail = v;
+    }
+    void bump_edge(int32_t u, int32_t v) {
+        for (auto& e : preds[v])
+            if (e.to == u) { e.w++; return; }
+        preds[v].push_back({u, 1});
+    }
+};
+
+static const int32_t NEG = -(1 << 28);
+
+// Fit-align one read segment to the graph and weave it in.
+// col0 = backbone column where the read segment starts.  alt_at maps
+// (backbone column, base) -> existing mismatch-ALT node; ins_after maps
+// (pred node, base) -> existing insertion node (POA merging).
+static void poa_add_read(Graph& g, const int8_t* read, int64_t m,
+                         int64_t col0, int64_t col1, int32_t W,
+                         int32_t ma, int32_t mi,
+                         int32_t go, int32_t ge,
+                         std::unordered_map<int64_t, int32_t>& alt_at,
+                         std::unordered_map<int64_t, int32_t>& ins_after) {
+    const int32_t band = 2 * W + 1;
+    const int32_t n = (int32_t)g.base.size();
+    // expected read position of a node column: linear map of the read
+    // segment onto its backbone span [col0, col1) — an indel-imbalanced
+    // read drifts systematically off the slope-1 diagonal, and the band
+    // must follow the drift, not the raw column
+    const double scale = col1 > col0 ? (double)m / (double)(col1 - col0)
+                                     : 1.0;
+    // band row per node: j in [jlo(v), jlo(v)+band), clipped to [0, m]
+    auto jlo = [&](int32_t v) -> int64_t {
+        int64_t ctr = (int64_t)((g.col[v] - col0) * scale + 0.5);
+        int64_t lo = ctr - W;
+        if (lo > (int64_t)m + 1 - band) lo = (int64_t)m + 1 - band;
+        if (lo < 0) lo = 0;
+        return lo;
+    };
+    const int64_t rowsz = band;
+    std::vector<int32_t> H((size_t)n * rowsz, NEG), D((size_t)n * rowsz, NEG);
+    std::vector<int32_t> I((size_t)n * rowsz, NEG);
+    // dirH: 0=start, 1=diag, 2=from-D, 3=from-I; dirD: 1=open, 2=extend;
+    // dirI: 1=open, 2=extend
+    std::vector<uint8_t> dirH((size_t)n * rowsz, 0),
+        dirD((size_t)n * rowsz, 0), dirI((size_t)n * rowsz, 0);
+    std::vector<uint8_t> predH((size_t)n * rowsz, 0),
+        predD((size_t)n * rowsz, 0);
+    auto idx = [&](int32_t v, int64_t j) -> int64_t {
+        return (int64_t)v * rowsz + (j - jlo(v));
+    };
+    auto inband = [&](int32_t v, int64_t j) -> bool {
+        int64_t lo = jlo(v);
+        return j >= lo && j < lo + band && j <= m;
+    };
+    // nodes outside the read's column reach never participate
+    auto active = [&](int32_t v) -> bool {
+        return g.col[v] >= col0 - W - 1 && g.col[v] <= col1 + W + 1;
+    };
+
+    for (int32_t v = g.head; v >= 0; v = g.nxt[v]) {
+        if (!active(v)) continue;
+        int64_t lo = jlo(v);
+        for (int64_t j = lo; j < lo + band && j <= m; j++) {
+            int32_t bestH = NEG, bestD = NEG, bestI = NEG;
+            uint8_t dH = 0, dD = 1, dI = 1, pH = 0, pD = 0;
+            if (j == 0) { bestH = 0; dH = 0; }
+            // D: skip node v (no read base) coming from a predecessor
+            uint8_t pi = 0;
+            for (auto& e : g.preds[v]) {
+                int32_t u = e.to;
+                if (active(u) && inband(u, j)) {
+                    int64_t iu = idx(u, j);
+                    int32_t open_ = H[iu] - go - ge;
+                    int32_t ext_ = D[iu] - ge;
+                    if (open_ > bestD) { bestD = open_; dD = 1; pD = pi; }
+                    if (ext_ > bestD) { bestD = ext_; dD = 2; pD = pi; }
+                }
+                pi++;
+            }
+            if (bestD > bestH) { bestH = bestD; dH = 2; }
+            if (j > 0) {
+                // diag: consume read base j-1 at node v
+                int8_t rb = read[j - 1];
+                int32_t sc = (rb == g.base[v] && rb < 4) ? ma
+                             : (rb >= 4 || g.base[v] >= 4) ? -1 : -mi;
+                pi = 0;
+                for (auto& e : g.preds[v]) {
+                    int32_t u = e.to;
+                    if (active(u) && inband(u, j - 1)) {
+                        int32_t cand = H[idx(u, j - 1)] + sc;
+                        if (cand > bestH) { bestH = cand; dH = 1; pH = pi; }
+                    }
+                    pi++;
+                }
+                // I: consume read base j-1 without a node (within row)
+                if (j - 1 >= lo) {
+                    int64_t ip = idx(v, j - 1);
+                    int32_t open_ = H[ip] - go - ge;
+                    int32_t ext_ = I[ip] - ge;
+                    if (open_ >= ext_) { bestI = open_; dI = 1; }
+                    else { bestI = ext_; dI = 2; }
+                }
+                if (bestI > bestH) { bestH = bestI; dH = 3; }
+            }
+            int64_t iv = idx(v, j);
+            H[iv] = bestH; D[iv] = bestD; I[iv] = bestI;
+            dirH[iv] = dH; dirD[iv] = dD; dirI[iv] = dI;
+            predH[iv] = pH; predD[iv] = pD;
+        }
+    }
+
+    // best end: H[v][m] over active nodes whose band contains m
+    int32_t bv = -1; int32_t bs = NEG;
+    for (int32_t v = 0; v < n; v++) {
+        if (active(v) && inband(v, m) && H[idx(v, m)] > bs) {
+            bs = H[idx(v, m)];
+            bv = v;
+        }
+    }
+    if (bv < 0 || bs <= 0) return;  // read could not be fit — skip it
+
+    // traceback -> per-read-base steps (node id, or -1 for insertion)
+    struct Step { int32_t node; int64_t j; };
+    std::vector<Step> path;
+    int32_t v = bv; int64_t j = m; int state = 0;  // 0=H 1=D 2=I
+    while (j > 0 || state != 0) {
+        int64_t iv = idx(v, j);
+        if (state == 0) {
+            uint8_t d = dirH[iv];
+            if (d == 0) break;                    // free start
+            if (d == 1) {
+                path.push_back({v, j});
+                v = g.preds[v][predH[iv]].to;
+                j -= 1;
+            } else if (d == 2) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            uint8_t d = dirD[iv];
+            int32_t u = g.preds[v][predD[iv]].to;
+            if (d == 1) state = 0;
+            v = u;
+        } else {
+            uint8_t d = dirI[iv];
+            path.push_back({-1, j});
+            j -= 1;
+            if (d == 1) state = 0;
+        }
+    }
+
+    // weave in forward order
+    int32_t prev_node = -1;
+    for (auto it = path.rbegin(); it != path.rend(); ++it) {
+        int8_t rb = read[it->j - 1];
+        int32_t cur = -1;
+        if (it->node >= 0 && g.base[it->node] == rb) {
+            cur = it->node;                       // match
+        } else if (it->node >= 0) {
+            // mismatch: merge with an existing ALT node at this column
+            int64_t key = ((int64_t)g.col[it->node] << 3) | rb;
+            auto f = alt_at.find(key);
+            if (f != alt_at.end()) cur = f->second;
+            else {
+                cur = g.add_node(rb, g.col[it->node]);
+                g.insert_after(cur, g.prv[it->node] >= 0
+                                        ? g.prv[it->node] : -1);
+                alt_at.emplace(key, cur);
+            }
+        } else {
+            // insertion: merge with an existing ins node after prev
+            int64_t key = ((int64_t)(prev_node + 1) << 3) | rb | (1LL << 62);
+            auto f = ins_after.find(key);
+            if (f != ins_after.end()) cur = f->second;
+            else {
+                int32_t c = prev_node >= 0 ? g.col[prev_node]
+                                           : (int32_t)col0;
+                cur = g.add_node(rb, c);
+                g.insert_after(cur, prev_node >= 0 ? prev_node : -1);
+                ins_after.emplace(key, cur);
+            }
+        }
+        g.nweight[cur] += 1;
+        if (prev_node >= 0 && prev_node != cur) g.bump_edge(prev_node, cur);
+        prev_node = cur;
+    }
+}
+
+// consensus: heaviest path under MAJORITY-RELATIVE edge scoring, then trim
+// tips whose node weight < min_cov.  A raw edge-weight sum lets a k-node
+// insertion detour (w reads, k+1 edges) outscore the direct edge once
+// (k+1)*w exceeds it — sub-majority read noise then bloats the consensus
+// (measured: 109 inserted bases / 6kb at 15x ONT).  Scoring each edge as
+// 2*w - local_coverage makes an edge profitable only with majority
+// support, so detours must OUT-VOTE the direct edge per transition.
+static int64_t poa_consensus_path(Graph& g, int32_t bb_len,
+                                  int32_t min_cov,
+                                  int8_t* out, int64_t cap) {
+    int32_t n = (int32_t)g.base.size();
+    std::vector<int64_t> score(n, 0);
+    std::vector<int32_t> from(n, -1);
+    int32_t best = -1; int64_t bs = -1;
+    for (int32_t v = g.head; v >= 0; v = g.nxt[v]) {
+        for (auto& e : g.preds[v]) {
+            int32_t u = e.to;
+            int32_t cov = g.nweight[u] > g.nweight[v] ? g.nweight[u]
+                                                      : g.nweight[v];
+            int64_t cand = score[u] + 2 * (int64_t)e.w - cov;
+            // ties (ubiquitous where local coverage is 1-2: every
+            // single-read variant scores 2w-cov = 0, same as the
+            // incumbent) resolve toward the BACKBONE chain — the
+            // incumbent consensus already carries the pileup vote's
+            // all-reads evidence — then toward the heavier node
+            bool take = false;
+            if (cand > score[v]) take = true;
+            else if (cand == score[v]) {
+                if (from[v] < 0) take = true;   // extend beats fresh start
+                else {
+                    bool u_bb = (u == v - 1 && v < bb_len);
+                    bool f_bb = (from[v] == v - 1 && v < bb_len);
+                    if (u_bb && !f_bb) take = true;
+                    else if (u_bb == f_bb
+                             && g.nweight[u] > g.nweight[from[v]])
+                        take = true;
+                }
+            }
+            if (take) { score[v] = cand; from[v] = u; }
+        }
+        if (score[v] > bs) { bs = score[v]; best = v; }
+    }
+    std::vector<int32_t> path;
+    // iteration cap: merged alt nodes can in pathological cases create a
+    // backward edge (see poa_add_read) — never walk longer than n
+    for (int32_t v = best; v >= 0 && (int64_t)path.size() <= n;
+         v = from[v])
+        path.push_back(v);
+    // forward order
+    int64_t lo = 0, hi = (int64_t)path.size();
+    // trim tips below min_cov
+    while (hi > lo && g.nweight[path[(size_t)(hi - 1)]] < min_cov) hi--;
+    while (lo < hi && g.nweight[path[(size_t)lo]] < min_cov) lo++;
+    int64_t k = 0;
+    for (int64_t i = hi - 1; i >= lo && k < cap; i--)
+        out[k++] = g.base[path[(size_t)i]];
+    return k;
+}
+
+}  // namespace poa
+
+extern "C" {
+
+// Banded partial-order consensus of read segments against a backbone.
+// reads_flat/read_off: concatenated oriented read segments; read_col0[i] =
+// backbone column where segment i starts.  Returns consensus length
+// written to cons_out (<= cons_cap), or -1 on failure.
+int64_t telr_poa_consensus(const int8_t* backbone, int64_t bb_len,
+                           const int8_t* reads_flat,
+                           const int64_t* read_off,
+                           const int64_t* read_col0,
+                           const int64_t* read_col1, int64_t n_reads,
+                           int32_t W, int32_t ma, int32_t mi, int32_t go,
+                           int32_t ge, int32_t min_cov,
+                           int8_t* cons_out, int64_t cons_cap) {
+    poa::Graph g;
+    int32_t prev = -1;
+    for (int64_t i = 0; i < bb_len; i++) {
+        int32_t v = g.add_node(backbone[i], (int32_t)i);
+        g.insert_after(v, prev);
+        if (prev >= 0) g.bump_edge(prev, v);
+        // backbone edges start at weight 1 from bump; reset to 0 so the
+        // consensus is carried by READ support, not the backbone itself
+        if (prev >= 0) g.preds[v][0].w = 0;
+        prev = v;
+    }
+    std::unordered_map<int64_t, int32_t> alt_at, ins_after;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const int8_t* seg = reads_flat + read_off[r];
+        int64_t m = read_off[r + 1] - read_off[r];
+        if (m <= 0) continue;
+        poa::poa_add_read(g, seg, m, read_col0[r], read_col1[r], W,
+                          ma, mi, go, ge, alt_at, ins_after);
+    }
+    return poa::poa_consensus_path(g, (int32_t)bb_len, min_cov,
+                                   cons_out, cons_cap);
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // ---------------------------------------------------------------------------
 // banded affine-gap DP (see telr_tpu/kernels/dp.py _banded_dp_single)

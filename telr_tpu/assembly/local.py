@@ -260,6 +260,67 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
                 continue
             st.consensus = new_consensus
 
+    # POA refinement: the pileup vote converges to a backbone-biased fixed
+    # point on deletion-heavy noise (bases missing from the backbone only
+    # return through gated insertion events; measured ~94% identity on
+    # ONT) — two banded partial-order rounds (native telr_poa_consensus,
+    # the wtpoa-cns role, reference TELR_assembly.py:225-247) finish the
+    # contig: every read variant is a graph node and the majority-scored
+    # heaviest path is the consensus, with no backbone bias.
+    from telr_tpu.io import native as _native
+    if _native.has_poa():
+        for _ in range(2):
+            live = [st for st in states
+                    if not st.failed and len(st.consensus)]
+            if not live:
+                break
+            groups = []
+            for st in live:
+                target = SeqDict([Sequence(st.name, st.consensus)])
+                aligner = Aligner(target, preset,
+                                  use_wavefront=use_wavefront)
+                groups.append((aligner,
+                               {rn: reads[rn].codes
+                                for rn in st.avail + st.extras}))
+            results = map_batch_grouped(groups)
+            any_change = False
+            for st, result in zip(live, results):
+                segs, c0s, c1s = [], [], []
+                for rn in st.avail + st.extras:
+                    hits = [h for h in result.get(rn, []) if h.primary]
+                    if not hits:
+                        continue
+                    best = max(hits, key=lambda h: h.score)
+                    if rn in st.extras and any(
+                            ln >= 30 and op in ("I", "D")
+                            for op, ln in best.cigar):
+                        continue
+                    qc, _qi = _oriented(best, reads[rn].codes)
+                    if best.strand == "-":
+                        s0 = best.qlen - best.qend
+                    else:
+                        s0 = best.qstart
+                    seg = qc[s0:s0 + (best.qend - best.qstart)]
+                    if len(seg) == 0:
+                        continue
+                    segs.append(seg)
+                    c0s.append(best.tstart)
+                    c1s.append(best.tend)
+                if not segs:
+                    continue
+                refined = _native.poa_consensus(
+                    st.consensus, segs, c0s, c1s, width=192,
+                    match=preset.match, mismatch=preset.mismatch,
+                    gap_open=preset.gap_open,
+                    gap_extend=preset.gap_extend,
+                    min_cov=2 if len(segs) > 2 else 1)
+                if refined.size and not np.array_equal(refined,
+                                                       st.consensus):
+                    st.consensus = refined
+                    any_change = True
+            if not any_change:
+                break
+
     contigs = SeqDict()
     passed: Set[str] = set()
     for st in states:

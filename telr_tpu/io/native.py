@@ -104,6 +104,14 @@ def load() -> Optional[ctypes.CDLL]:
         # older .so without the chaining DP; callers fall back to numpy
         pass
     try:
+        i32 = ctypes.c_int32
+        lib.telr_poa_consensus.argtypes = (
+            [ctypes.c_void_p, i64] + [ctypes.c_void_p] * 4 + [i64]
+            + [i32] * 6 + [ctypes.c_void_p, i64])
+        lib.telr_poa_consensus.restype = i64
+    except AttributeError:
+        pass
+    try:
         lib.telr_chain_extract.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_double, i64,
             i64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -291,6 +299,44 @@ def count_matches(q: np.ndarray, t: np.ndarray, cigar, qstart=0,
 def has_traceback() -> bool:
     lib = load()
     return lib is not None and hasattr(lib, "telr_traceback")
+
+
+def has_poa() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_poa_consensus")
+
+
+def poa_consensus(backbone: np.ndarray, segments, col0s, col1s=None, *,
+                  width: int = 64, match: int = 2, mismatch: int = 4,
+                  gap_open: int = 4, gap_extend: int = 2,
+                  min_cov: int = 2) -> np.ndarray:
+    """Banded partial-order consensus (the wtpoa-cns role).
+
+    segments: oriented read segments (int8 code arrays); col0s/col1s[i] =
+    the backbone span the segment covers (band anchors; the band center
+    follows the linear map of the segment onto that span)."""
+    lib = load()
+    backbone = np.ascontiguousarray(backbone, dtype=np.int8)
+    off = np.zeros(len(segments) + 1, dtype=np.int64)
+    for i, s in enumerate(segments):
+        off[i + 1] = off[i] + len(s)
+    flat = np.empty(int(off[-1]), dtype=np.int8)
+    for i, s in enumerate(segments):
+        flat[off[i]:off[i + 1]] = s
+    col0 = np.ascontiguousarray(np.asarray(col0s, dtype=np.int64))
+    if col1s is None:
+        col1s = [len(backbone)] * len(segments)
+    col1 = np.ascontiguousarray(np.asarray(col1s, dtype=np.int64))
+    cap = len(backbone) + int(off[-1]) + 16
+    out = np.empty(cap, dtype=np.int8)
+    n = lib.telr_poa_consensus(
+        backbone.ctypes.data, len(backbone), flat.ctypes.data,
+        off.ctypes.data, col0.ctypes.data, col1.ctypes.data,
+        len(segments), width, match, mismatch, gap_open, gap_extend,
+        min_cov, out.ctypes.data, cap)
+    if n < 0:
+        return np.zeros(0, dtype=np.int8)
+    return out[:n].copy()
 
 
 def has_chain_extract() -> bool:
