@@ -859,6 +859,32 @@ def _start_cells(pairs, scheds, mode, g, b, bs, bp):
     return starts
 
 
+def _retry_transient(fn, attempts: int = 4, delay_s: float = 5.0):
+    """Retry a device dispatch through transient remote-runtime failures.
+
+    The axon tunnel's compile service intermittently drops a response
+    mid-read ("response body closed before all bytes were read"); without
+    a retry one flake kills a multi-hour genome run (observed: the 23Mb
+    TPU eval died 50 min in).  Only errors that look transient are
+    retried; real compile errors re-raise immediately."""
+    import time as _time
+    last = None
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            msg = str(exc)
+            transient = any(s in msg for s in (
+                "response body closed", "read body", "UNAVAILABLE",
+                "DEADLINE_EXCEEDED", "Connection reset",
+                "Broken pipe", "EOF"))
+            if not transient:
+                raise
+            last = exc
+            _time.sleep(delay_s * (k + 1))
+    raise last
+
+
 def wavefront_align(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     width: int,
@@ -918,8 +944,9 @@ def wavefront_align(
             cg = [guides[i] for i in sel] if guides is not None else None
             batch = prepare_wavefront_batch(cp, width, cg)
             scheds = batch[5]
-            g, b, bs, bp, dirs = run_wavefront_batch_tb(
-                batch, width, mode, params, interpret=interpret)
+            g, b, bs, bp, dirs = _retry_transient(
+                lambda: run_wavefront_batch_tb(batch, width, mode, params,
+                                               interpret=interpret))
             for k, (si, sj, score) in enumerate(
                     _start_cells(cp, scheds, mode, g, b, bs, bp)):
                 try:
@@ -951,13 +978,16 @@ def wavefront_align(
         # traceback walk share the same device buffers
         meta = _jax.device_put(meta)
         scal = _jax.device_put(scal)
-        gout, bout, bs_d, bp_d, dirs = _call_kernel(
-            meta, init, scal, gmeta, width=width, mode=mode,
-            params_tuple=params.tuple(), n_tiles=n_tiles,
-            interpret=interpret, tb=True)
-        packed, small = _device_traceback_from_best(
-            dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
-            S_max=S_pad, NB=S_pad // 8, W=width)
+
+        def _launch():
+            gout, bout, bs_d, bp_d, dirs = _call_kernel(
+                meta, init, scal, gmeta, width=width, mode=mode,
+                params_tuple=params.tuple(), n_tiles=n_tiles,
+                interpret=interpret, tb=True)
+            return _device_traceback_from_best(
+                dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
+                S_max=S_pad, NB=S_pad // 8, W=width)
+        packed, small = _retry_transient(_launch)
         issued.append((sel, n, packed, small))
 
     out = [None] * len(pairs)
