@@ -283,7 +283,7 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
                                {rn: reads[rn].codes
                                 for rn in st.avail + st.extras}))
             results = map_batch_grouped(groups)
-            any_change = False
+            poa_jobs = []   # (state, segs, c0s, c1s)
             for st, result in zip(live, results):
                 segs, c0s, c1s = [], [], []
                 for rn in st.avail + st.extras:
@@ -306,18 +306,32 @@ def _assemble_batch(items: List[Tuple[str, List[str], List[str], List[str]]],
                     segs.append(seg)
                     c0s.append(best.tstart)
                     c1s.append(best.tend)
-                if not segs:
-                    continue
-                refined = _native.poa_consensus(
+                if segs:
+                    poa_jobs.append((st, segs, c0s, c1s))
+
+            def _refine(job):
+                st, segs, c0s, c1s = job
+                return st, _native.poa_consensus(
                     st.consensus, segs, c0s, c1s, width=192,
                     match=preset.match, mismatch=preset.mismatch,
                     gap_open=preset.gap_open,
                     gap_extend=preset.gap_extend,
                     min_cov=2 if len(segs) > 2 else 1)
-                if refined.size and not np.array_equal(refined,
-                                                       st.consensus):
-                    st.consensus = refined
-                    any_change = True
+
+            # the ctypes POA call releases the GIL — thread across loci
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+            nthr = min(len(poa_jobs),
+                       int(_os.environ.get("TELR_DP_THREADS", 0))
+                       or (_os.cpu_count() or 1))
+            any_change = False
+            if poa_jobs:
+                with ThreadPoolExecutor(max_workers=max(1, nthr)) as ex:
+                    for st, refined in ex.map(_refine, poa_jobs):
+                        if refined.size and not np.array_equal(
+                                refined, st.consensus):
+                            st.consensus = refined
+                            any_change = True
             if not any_change:
                 break
 
