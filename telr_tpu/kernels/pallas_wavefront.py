@@ -422,9 +422,17 @@ def prepare_wavefront_batch(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     width: int,
     guides: Optional[Sequence] = None,
+    min_groups: int = 1,
+    min_steps: int = 0,
 ):
     """Host-side batch preparation (schedule building + packing); separate
-    from the kernel call so steady-state runs amortise it."""
+    from the kernel call so steady-state runs amortise it.
+
+    min_groups: pad the group count up to this value — callers pin it per
+    (S-bucket, width) so every chunk of a genome-scale run shares ONE
+    compile key (padded groups have zero-step loop bounds and cost no
+    device time; through the remote compile tunnel every distinct grid is
+    a ~4-minute compile)."""
     n = len(pairs)
     G = -(-n // 8)
     # bucket the group count to powers of two so repeated batches reuse
@@ -432,7 +440,7 @@ def prepare_wavefront_batch(
     Gb = 1
     while Gb < G:
         Gb *= 2
-    G = Gb
+    G = max(Gb, min_groups)
     scheds: List[Optional[WaveSchedule]] = []
     for idx in range(G * 8):
         if idx < n:
@@ -443,7 +451,7 @@ def prepare_wavefront_batch(
         else:
             scheds.append(None)
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
-    S_pad = _sbucket(S_max)
+    S_pad = max(_sbucket(S_max), min_steps)
 
     # compact wire format (see _call_kernel): packed step codes fit in 7
     # bits, window codes in 3, and only 4 scalar lanes are real — shipping
@@ -911,38 +919,37 @@ def wavefront_align(
     # memory-bounded chunking: the dirs tensor costs ~8 x S_pad x W bytes
     # per group; bound resident bytes so genome-scale batches can't blow
     # HBM (and <= 1GB keeps the on-device traceback's flat gather indices
-    # within int32).  Pairs are chunked in ascending length order and each
-    # chunk is sized GREEDILY against ITS OWN bucketed step budget — a
-    # global budget from the longest pair would shatter a mostly-short
-    # batch into dozens of chunks, and every chunk costs two device
-    # round-trips (~1s each through the axon tunnel).
-    order = sorted(range(len(pairs)),
-                   key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+    # within int32).  Pairs are grouped BY STEP BUCKET and every chunk of
+    # a bucket is padded to the SAME group count (G_fixed, the budget
+    # maximum), so a whole genome run compiles exactly ONE kernel per
+    # (S-bucket, width, mode) — each distinct grid is a ~4-minute compile
+    # through the remote tunnel, and padded groups carry zero-step loop
+    # bounds so they cost no device time.
     budget = 1 << 30
     max_chunk = 4096     # bounds host-side schedule building per chunk
-    chunks: List[List[int]] = []
-    cur: List[int] = []
-    for i in order:
-        sp = _sbucket(len(pairs[i][0]) + len(pairs[i][1]))
-        n_new = len(cur) + 1
-        g_new = 1
-        while g_new * 8 < n_new:
-            g_new *= 2
-        cost = g_new * 8 * sp * width  # dirs bytes at the padded G
-        if cur and (cost > budget or n_new > max_chunk):
-            chunks.append(cur)
-            cur = [i]
-        else:
-            cur.append(i)
-    if cur:
-        chunks.append(cur)
+    by_bucket: Dict[int, List[int]] = {}
+    for i in range(len(pairs)):
+        by_bucket.setdefault(
+            _sbucket(len(pairs[i][0]) + len(pairs[i][1])), []).append(i)
+    chunks: List[Tuple[List[int], int, int]] = []  # (idxs, G_fixed, S)
+    for sp in sorted(by_bucket):
+        idxs = by_bucket[sp]
+        g_budget = max(1, budget // (8 * sp * width))
+        g_fixed = 1
+        while g_fixed * 2 <= min(g_budget, max_chunk // 8):
+            g_fixed *= 2
+        step = g_fixed * 8
+        for lo in range(0, len(idxs), step):
+            chunks.append((idxs[lo:lo + step], g_fixed, sp))
 
     if not device_tb:
         out: List[Optional[dict]] = [None] * len(pairs)
-        for sel in chunks:
+        for sel, g_fixed, sp in chunks:
             cp = [pairs[i] for i in sel]
             cg = [guides[i] for i in sel] if guides is not None else None
-            batch = prepare_wavefront_batch(cp, width, cg)
+            batch = prepare_wavefront_batch(cp, width, cg,
+                                            min_groups=g_fixed,
+                                            min_steps=sp)
             scheds = batch[5]
             g, b, bs, bp, dirs = _retry_transient(
                 lambda: run_wavefront_batch_tb(batch, width, mode, params,
@@ -962,17 +969,27 @@ def wavefront_align(
                                "tend": sj}
         return out
 
-    # device path: issue every chunk's kernel + fused traceback without
-    # any host sync in between (start cells derive from best_s/best_p on
-    # device), then collect — chunks pipeline through async dispatch, and
-    # each chunk ships back exactly TWO arrays (bit-packed op codes + the
-    # (7, n) scalar stack)
+    # device path: issue chunk kernels + fused tracebacks without host
+    # sync in between (start cells derive from best_s/best_p on device) —
+    # chunks pipeline through async dispatch, each shipping back exactly
+    # TWO arrays (bit-packed op codes + the (7, n) scalar stack).  A
+    # bounded in-flight window caps resident dirs tensors (~1GB each) so
+    # a genome-scale batch of hundreds of chunks can't exhaust HBM.
+    MAX_INFLIGHT = 4
     issued = []
-    for sel in chunks:
+    collected = []
+
+    def _collect_one():
+        sel_c, n_c, packed_c, small_c = issued.pop(0)
+        collected.append((sel_c, n_c, np.asarray(packed_c),
+                          np.asarray(small_c)))
+
+    for sel, g_fixed, sp in chunks:
         cp = [pairs[i] for i in sel]
         cg = [guides[i] for i in sel] if guides is not None else None
         meta, init, scal, n_tiles, n, scheds, gmeta = \
-            prepare_wavefront_batch(cp, width, cg)
+            prepare_wavefront_batch(cp, width, cg, min_groups=g_fixed,
+                                    min_steps=sp)
         S_pad = n_tiles * STEP_TILE
         # ship the compact wire arrays ONCE; the kernel call and the
         # traceback walk share the same device buffers
@@ -989,11 +1006,14 @@ def wavefront_align(
                 S_max=S_pad, NB=S_pad // 8, W=width)
         packed, small = _retry_transient(_launch)
         issued.append((sel, n, packed, small))
+        while len(issued) >= MAX_INFLIGHT:
+            _collect_one()
+    while issued:
+        _collect_one()
 
     out = [None] * len(pairs)
-    for (sel, n, packed, small) in issued:
-        ops = _unpack_ops(np.asarray(packed))      # (S_max, n)
-        small = np.asarray(small)
+    for (sel, n, packed, small) in collected:
+        ops = _unpack_ops(packed)                  # (S_max, n)
         g = small[0, :n]
         b = small[1, :n]
         fi = small[2]
