@@ -78,3 +78,33 @@ def test_payload_all_to_all_moves_read_codes():
     assert set(seen) == set(truth)
     for key, codes in seen.items():
         np.testing.assert_array_equal(codes, truth[key])
+
+
+def test_exchange_bytes_roundtrip():
+    """exchange_bytes_mp self-route (P=1 degenerate) returns the blob."""
+    import jax
+    from jax.sharding import Mesh
+    from telr_tpu.dist.mesh import READS_AXIS
+    from telr_tpu.dist.redistribute import exchange_bytes_mp
+    import numpy as np
+
+    mesh = Mesh(np.array(jax.devices()[:1]), (READS_AXIS,))
+    blob = bytes(range(256)) * 100 + b"tail"
+    got = exchange_bytes_mp(mesh, [blob])
+    assert got == [blob]
+
+
+def test_exchange_bytes_chunking():
+    """Blobs larger than one chunk reassemble exactly, including bytes
+    equal to the -1 pad value."""
+    import jax
+    from jax.sharding import Mesh
+    from telr_tpu.dist.mesh import READS_AXIS
+    from telr_tpu.dist.redistribute import exchange_bytes_mp
+    import numpy as np
+
+    mesh = Mesh(np.array(jax.devices()[:1]), (READS_AXIS,))
+    rng = np.random.default_rng(0)
+    blob = rng.integers(0, 256, 3_000_000, dtype=np.uint8).tobytes()
+    got = exchange_bytes_mp(mesh, [blob], chunk=1 << 19)
+    assert got == [blob]
