@@ -121,9 +121,15 @@ def estimate_af(
     asm_cfg: AssemblyConfig,
     use_wavefront: bool = False,
     mesh=None,
+    window_names: Optional[Dict[str, List[str]]] = None,
 ) -> Dict[str, dict]:
     """Returns te_freq: contig_name -> {te_5p_cov, ..., freq} exactly as the
-    reference builds it (TELR_te.py:758-838)."""
+    reference builds it (TELR_te.py:758-838).
+
+    window_names: optional precomputed breakpoint-window read-name lists
+    per locus (multi-process runner: resolved by the locus' REGION owner,
+    whose store covers the window, so a load-balanced COMPUTE owner can
+    run AF without positional store access)."""
     # contig TE coords: last annotation row per contig wins (reference
     # overwrites in file order, TELR_te.py:657-675)
     te_coords: Dict[str, tuple] = {}
@@ -152,9 +158,12 @@ def estimate_af(
         if cname not in contigs or cname not in te_coords:
             continue
         contig = contigs[cname]
-        bp = round((rec.start + rec.end) / 2)
-        window_reads = genome_store.fetch_read_names(
-            rec.chrom, max(0, bp - asm_cfg.window), bp + asm_cfg.window)
+        if window_names is not None:
+            window_reads = window_names[cname]
+        else:
+            bp = round((rec.start + rec.end) / 2)
+            window_reads = genome_store.fetch_read_names(
+                rec.chrom, max(0, bp - asm_cfg.window), bp + asm_cfg.window)
         for rc in (False, True):
             jobs.append((cname, rc, len(contig)))
             targets.append(contig.revcomp() if rc else contig)

@@ -120,6 +120,8 @@ def config_from_args(args) -> TELRConfig:
 
 
 def main(argv=None):
+    from telr_tpu.utils.procpool import ensure_forkserver
+    ensure_forkserver()   # before jax spins up threads (see procpool.py)
     args = get_args(argv)
     cfg = config_from_args(args)
     cfg.validate()

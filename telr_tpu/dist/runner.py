@@ -73,6 +73,9 @@ def run_pipeline_multiprocess(
     Returns per-stage wall-clock seconds (all processes)."""
     import os
 
+    from telr_tpu.utils.procpool import ensure_forkserver
+    ensure_forkserver()   # before jax spins up threads (see procpool.py)
+
     import jax
     from jax.sharding import Mesh
 
@@ -209,30 +212,60 @@ def run_pipeline_multiprocess(
         records = merge_nearby_records(records, config.sv.merge_window)
 
     with timed("locus_redistribute"):
-        # voters = AF-window reads (superset of the assembly voters: every
-        # read with any alignment in the +-window, minus support).  Only
-        # the region owner can resolve them (its store covers the locus
-        # windows); the NAME lists are all-gathered so every process can
-        # route the payloads of the reads it holds.
+        # The REGION owner is the only process whose store covers a locus
+        # window, so it resolves every per-locus read-NAME list the later
+        # stages need: voters = AF-window reads (superset of the assembly
+        # voters: every read with any alignment in the +-window, minus
+        # support), AF breakpoint-window reads (store fetch order), and
+        # primary-only polish voters.  The name lists are all-gathered —
+        # they are tiny — which frees COMPUTE ownership of each locus
+        # from genome-region geometry (see the LPT balance below).
         my_voters: Dict[str, List[str]] = {}
+        my_window: Dict[str, List[str]] = {}
+        my_extra: Dict[str, List[str]] = {}
         for rec in records:
             if regions.region_of(rec.chrom, rec.start) != pid:
                 continue
             support = set(rec.reads)
-            near = store.fetch_read_names(
-                rec.chrom, max(0, rec.start - config.assembly.window),
-                rec.end + config.assembly.window)
+            lo = max(0, rec.start - config.assembly.window)
+            hi = rec.end + config.assembly.window
+            near = store.fetch_read_names(rec.chrom, lo, hi)
             my_voters[rec.locus_name] = sorted(set(near) - support)
-        voter_names = {}
-        for part in _allgather_obj(my_voters):
-            voter_names.update(part)
-        # payload routing key: owner is the REGION owner, encoded so that
-        # key % P == owner (the redistribute contract) and li = key // P
+            bp = round((rec.start + rec.end) / 2)
+            my_window[rec.locus_name] = store.fetch_read_names(
+                rec.chrom, max(0, bp - config.assembly.window),
+                bp + config.assembly.window)
+            my_extra[rec.locus_name] = sorted(
+                {a.qname for a in store.fetch(rec.chrom, lo, hi)
+                 if a.primary} - support)
+        voter_names: Dict[str, List[str]] = {}
+        window_names: Dict[str, List[str]] = {}
+        extra_names: Dict[str, List[str]] = {}
+        for part in _allgather_obj((my_voters, my_window, my_extra)):
+            voter_names.update(part[0])
+            window_names.update(part[1])
+            extra_names.update(part[2])
+        # Deterministic LPT balance of locus COMPUTE ownership: region
+        # ownership concentrates loci wherever the genome puts them, and
+        # the resulting straggler skew surfaced as a 72s gather_results
+        # barrier wait at P=2 (SCALING_r04 first cut).  Weight = routed
+        # read count (support + voters), a good proxy for the realign
+        # cost that dominates assembly/AF.  Every process derives the
+        # same assignment from the same all-gathered inputs, so the
+        # payload routing keys agree without further communication.
+        weights = [(len(rec.reads) + len(voter_names[rec.locus_name]), li)
+                   for li, rec in enumerate(records)]
+        loads = [0] * P
+        owner_of_li: Dict[int, int] = {}
+        for w, li in sorted(weights, key=lambda t: (-t[0], t[1])):
+            p = min(range(P), key=lambda q: (loads[q], q))
+            owner_of_li[li] = p
+            loads[p] += w
+        # payload routing key: encoded so that key % P == compute owner
+        # (the redistribute contract) and li = key // P
         items = []
         name_of: Dict[tuple, str] = {}
-        owner_of_li: Dict[int, int] = {}
         for li, rec in enumerate(records):
-            owner_of_li[li] = regions.region_of(rec.chrom, rec.start)
             key = li * P + owner_of_li[li]
             for kind, names in ((0, rec.reads),
                                 (1, voter_names[rec.locus_name])):
@@ -254,14 +287,9 @@ def run_pipeline_multiprocess(
 
     with timed("assembly"):
         # primary-only voters for the polish vote (collect_extra_voters
-        # semantics), names resolved from the gathered store
-        extra_voters = {}
-        for rec in own_recs:
-            support = set(rec.reads)
-            near = {a.qname for a in store.fetch(
-                rec.chrom, rec.start - config.assembly.window,
-                rec.end + config.assembly.window) if a.primary}
-            extra_voters[rec.locus_name] = sorted(near - support)
+        # semantics), names resolved by the REGION owner above
+        extra_voters = {rec.locus_name: extra_names[rec.locus_name]
+                        for rec in own_recs}
         contigs, passed = assemble_all(
             own_recs, shard_reads, config.read_preset, config.assembly,
             loci_eval, use_wavefront=config.use_wavefront,
@@ -281,7 +309,8 @@ def run_pipeline_multiprocess(
         te_freq = estimate_af(own_recs, contigs, contig_te, shard_reads,
                               store, config.read_preset, config.af,
                               config.assembly,
-                              use_wavefront=config.use_wavefront)
+                              use_wavefront=config.use_wavefront,
+                              window_names=window_names)
 
     with timed("gather_results"):
         payload = {

@@ -15,6 +15,7 @@ EXTEND DP at both ends -> PAF-equivalent record.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -357,122 +358,65 @@ class Aligner:
                               max_hits=max_hits)
 
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        # picklable snapshot for pool workers: a Mesh must not (and could
+        # not) cross processes, and the worker pool itself is parent-only
+        d = dict(self.__dict__)
+        d["mesh"] = None
+        d["_pool"] = None
+        return d
+
+    def _worker_pool(self, processes: int):
+        """Persistent forkserver pool of Aligner replicas (lazy)."""
+        from telr_tpu.utils.procpool import AlignerPool
+        pool = getattr(self, "_pool", None)
+        if pool is None or pool.processes != processes:
+            if pool is not None:
+                pool.close()
+            pool = AlignerPool(self, processes)
+            self._pool = pool
+        return pool
+
+    # ------------------------------------------------------------------
     def map_batch_parallel(self, queries: Dict[str, np.ndarray],
                            processes: int,
                            max_hits: Optional[int] = None
                            ) -> Dict[str, List[Alignment]]:
-        """map_batch fanned out over forked worker processes (the -t
+        """map_batch fanned out over pool worker processes (the -t
         thread parity of the reference's aligner thread passthrough,
         TELR_alignment.py:31-51).
 
         Host-side planning (seeding/chaining) is GIL-bound Python, so
-        process parallelism is the only way to scale it; the index is
-        inherited copy-on-write by the fork, never pickled.  Per-read
-        results are independent, so output is identical to map_batch.
-        Falls back to map_batch under a device path (wavefront/mesh own
-        the batching there) or single-process requests."""
+        process parallelism is the only way to scale it.  Workers are
+        forkserver children holding their own Aligner replica (see
+        utils/procpool.py for why plain fork() is unsound here), which
+        makes the fan-out safe under EVERY runtime — including the axon
+        TPU tunnel, where the r3 fork pool deadlocked and forced serial
+        planning.  Per-read results are independent, so output is
+        identical to map_batch."""
         from telr_tpu.io import native
-        if (processes > 1 and len(queries) >= 2 * processes
-                and self.use_wavefront and self.mesh is None
-                and native.available() and _plan_fork_safe()):
-            # device path: fork-parallelize the HOST PLANNING only
-            # (seeding/chaining — numpy + native C++, no XLA in the
-            # workers); the device DP dispatch stays in the parent.
-            # Without this the TPU path plans single-threaded and the
-            # host tail dominates the stage (PROFILE_STAGES r3:
-            # alignment 37.6s wall vs 2.0s device on the bundled run).
-            plans = self._plan_parallel(queries, processes)
+        small = len(queries) < max(16, 2 * processes)
+        if self.use_wavefront and self.mesh is None and processes > 1 \
+                and not small:
+            # device path: fan out the HOST PLANNING only (seeding/
+            # chaining — numpy + native C++ in the workers); the device
+            # DP dispatch stays in the parent.  Without this the TPU
+            # path plans single-threaded and the host tail dominates
+            # the stage (PROFILE_STAGES r3: alignment 37.6s wall vs
+            # 2.0s device on the bundled run).
+            plans = self._worker_pool(processes).plan(queries)
             return map_batch_grouped([(self, queries)],
                                      max_hits=max_hits,
                                      plans=[plans])[0]
-        if (processes <= 1 or len(queries) < 2 * processes
+        if (processes <= 1 or small
                 or self.use_wavefront or self.mesh is not None
-                # forked workers must stay off XLA: fork after jax init
-                # deadlocks, and the parent has usually initialized jax
-                # (e.g. resolving --wavefront auto).  With the native DP
-                # present the whole worker path is numpy + C++.
+                # with the native DP present the whole worker path is
+                # numpy + C++; without it, XLA-in-worker costs more
+                # than the fan-out buys
                 or not native.has_banded_dp()):
             return self.map_batch(queries, max_hits=max_hits)
-        import multiprocessing as mp
-        import os
-        names = list(queries)
-        n = len(names)
-        chunk = -(-n // processes)
-        bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
-        global _PAR_STATE
-        _PAR_STATE = (self, names, queries, max_hits)
-        old = os.environ.get("TELR_DP_THREADS")
-        os.environ["TELR_DP_THREADS"] = "1"  # workers: no DP-thread fanout
-        try:
-            ctx = mp.get_context("fork")
-            with ctx.Pool(len(bounds)) as pool:
-                parts = pool.map(_par_map_worker, bounds)
-        finally:
-            _PAR_STATE = None
-            if old is None:
-                os.environ.pop("TELR_DP_THREADS", None)
-            else:
-                os.environ["TELR_DP_THREADS"] = old
-        out: Dict[str, List[Alignment]] = {}
-        for (lo, hi), part in zip(bounds, parts):
-            for name, alns in zip(names[lo:hi], part):
-                out[name] = alns
-        return out
-
-
-    # ------------------------------------------------------------------
-    def _plan_parallel(self, queries: Dict[str, np.ndarray],
-                       processes: int) -> Dict[str, list]:
-        """Fork-pool fan-out of _plan over the query set.  Workers touch
-        only numpy + the native engine (fork-after-jax is safe as long as
-        the children never enter XLA; empirically validated on the axon
-        backend).  Returns {qname: picked chain list}."""
-        import multiprocessing as mp
-        names = list(queries)
-        n = len(names)
-        chunk = -(-n // processes)
-        bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
-        global _PAR_STATE
-        _PAR_STATE = (self, names, queries, None)
-        try:
-            ctx = mp.get_context("fork")
-            with ctx.Pool(len(bounds)) as pool:
-                parts = pool.map(_par_plan_worker, bounds)
-        finally:
-            _PAR_STATE = None
-        out: Dict[str, list] = {}
-        for (lo, hi), part in zip(bounds, parts):
-            for name, picked in zip(names[lo:hi], part):
-                out[name] = picked
-        return out
-
-
-def _plan_fork_safe() -> bool:
-    """fork() is only safe for the plan pool when this process runs a pure
-    CPU jax runtime.  Under the axon (tunneled TPU) plugin the parent
-    DEADLOCKS on its first device dispatch after a fork — observed on the
-    bundled run: alignment hung >35 min forked vs 5 min serial, warm cache
-    retest reproduced it — so the TPU path plans serially and relies on
-    the chunked plan/dispatch overlap instead."""
-    import os
-    return not os.environ.get("PALLAS_AXON_POOL_IPS")
-
-
-_PAR_STATE = None
-
-
-def _par_map_worker(bounds):
-    lo, hi = bounds
-    aligner, names, queries, max_hits = _PAR_STATE
-    sub = {n: queries[n] for n in names[lo:hi]}
-    res = aligner.map_batch(sub, max_hits=max_hits)
-    return [res.get(n, []) for n in names[lo:hi]]
-
-
-def _par_plan_worker(bounds):
-    lo, hi = bounds
-    aligner, names, queries, _ = _PAR_STATE
-    return [aligner._plan(queries[n]) for n in names[lo:hi]]
+        return self._worker_pool(processes).map_batch(queries,
+                                                      max_hits=max_hits)
 
 
 _EXT_CHUNK = 512       # query bases per extension round
@@ -481,6 +425,12 @@ _EXT_CONT_MARGIN = 64  # path must reach this close to the chunk end to
                        # continue — the z-drop analogue: junk extensions
                        # (secondary repeat hits) die after one cheap round
 _EXT_DIRECT_MAX = 768  # extensions at most this long skip the chunking
+
+# grouped-dispatch calls whose total wavefront work is below this many
+# DP cells run on the native host engine instead (hybrid dispatch; see
+# _dispatch_pieces).  ~256M cells = ~0.2s of 2-thread host DP, about one
+# remote-tunnel launch round-trip.
+_WAVE_MIN_CELLS = int(os.environ.get("TELR_WAVE_MIN_CELLS", 256_000_000))
 
 
 def _run_ext_round_cpu(jobs, runner=None):
@@ -598,7 +548,7 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
                     continue
                 key = (params.tuple(), mode, wave_w, al._wave_interpret)
                 wave_buckets.setdefault(key, []).append((ji, tag, q, t,
-                                                         guide))
+                                                         guide, width))
         else:
             if al.mesh is not None:
                 from telr_tpu.dist.exec import sharded_dp_runner
@@ -616,6 +566,41 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
                 else:
                     cpu_items.append((q, t, mode, params, width, None))
                     cpu_slots.append((ji, tag))
+    # hybrid dispatch: through a remote-device tunnel each kernel launch
+    # costs ~0.1-0.5s round-trip while the native host engine runs
+    # ~0.6 Gcells/s/thread, so SMALL dispatches are faster on host even
+    # when use_wavefront is on.  Without this the tail stages ran their
+    # handful of tiny DPs one launch at a time: te_filter 94s and
+    # liftover 61s on a 3Mb TPU eval vs ~1s each on the host path
+    # (GENOME_EVAL_wf3mb).  Decided per grouped-dispatch call: stage-1 /
+    # assembly calls are orders of magnitude above the threshold, the
+    # tail stages far below.  Interpret-mode (CPU test) runs keep the
+    # kernel path so kernel semantics stay covered by the suite.
+    from telr_tpu.io import native as _native
+    if (wave_buckets or wave_ext_items) and not wave_interp \
+            and not any(k[3] for k in wave_buckets) \
+            and _native.has_banded_dp():
+        est = sum((len(q) + len(t)) * k[2]
+                  for k, items in wave_buckets.items()
+                  for (_ji, _tag, q, t, _g, _w) in items)
+        est += sum(len(q) * (_EXT_CHUNK + _EXT_SLACK)
+                   for (q, _t, _p) in wave_ext_items)
+        if est < _WAVE_MIN_CELLS:
+            for (ptuple, mode, _wave_w, _i), items in wave_buckets.items():
+                params = dp.DPParams(*ptuple)
+                for (ji, tag, q, t, guide, width) in items:
+                    if guide is not None and width is not None:
+                        off = dp.offsets_from_path(len(q), len(t), width,
+                                                   guide[0], guide[1])
+                        cpu_items.append((q, t, mode, params, width, off))
+                    else:
+                        cpu_items.append((q, t, mode, params, width,
+                                          None))
+                    cpu_slots.append((ji, tag))
+            wave_buckets = {}
+            ext_items.extend(wave_ext_items)
+            ext_slots.extend(wave_ext_slots)
+            wave_ext_items, wave_ext_slots = [], []
     if cpu_items:
         for (ji, tag), res in zip(cpu_slots,
                                   dp.align_pairs(cpu_items, runner=runner,
@@ -636,8 +621,8 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
     if wave_buckets:
         from telr_tpu.kernels.pallas_wavefront import wavefront_align
         for (ptuple, mode, wave_w, interp), items in wave_buckets.items():
-            pairs = [(q, t) for _, _, q, t, _ in items]
-            guides = [g for _, _, _, _, g in items]
+            pairs = [(q, t) for _, _, q, t, _, _ in items]
+            guides = [g for _, _, _, _, g, _ in items]
             res = wavefront_align(pairs, wave_w, mode,
                                   dp.DPParams(*ptuple), guides=guides,
                                   interpret=interp)

@@ -163,6 +163,8 @@ def run_pipeline(
     stage-1 DP batches execute as sharded SPMD over the mesh, candidate
     loci are redistributed with the device all-to-all before assembly,
     and AF depth reductions run as psum over the "reads" axis."""
+    from telr_tpu.utils.procpool import ensure_forkserver
+    ensure_forkserver()   # before jax spins up threads (see procpool.py)
     config = config or default_config()
     if profile_dir:
         import jax

@@ -325,6 +325,8 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
              workdir=None, read_len=9000, threads=1, chroms=1,
              ont_profile=False):
+    from telr_tpu.utils.procpool import ensure_forkserver
+    ensure_forkserver()   # before jax spins up threads (see procpool.py)
     from telr_tpu.config import TELRConfig, SVConfig
     from telr_tpu.pipeline import run_pipeline
 

@@ -34,6 +34,9 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 
 def worker(nprocs: int, pid: int, reads_fa: str, ref_fa: str, lib_fa: str,
            out_dir: str, stats_path: str, threads: int) -> None:
+    sys.path.insert(0, REPO)
+    from telr_tpu.utils.procpool import ensure_forkserver
+    ensure_forkserver()   # before jax/gloo spin up threads
     import jax
     if nprocs > 1:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
