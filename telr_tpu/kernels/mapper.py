@@ -404,7 +404,16 @@ class Aligner:
             # path plans single-threaded and the host tail dominates
             # the stage (PROFILE_STAGES r3: alignment 37.6s wall vs
             # 2.0s device on the bundled run).
-            plans = self._worker_pool(processes).plan(queries)
+            from telr_tpu.utils import hoststats
+            if not self._wave_interpret:
+                # compile the standard kernel keys in the background
+                # while the plan workers own the CPUs (lowering is
+                # GIL-bound; the pool.map below holds no GIL)
+                from telr_tpu.kernels.pallas_wavefront import \
+                    ensure_prewarm_async
+                ensure_prewarm_async(self._params())
+            with hoststats.timer("plan_pool"):
+                plans = self._worker_pool(processes).plan(queries)
             return map_batch_grouped([(self, queries)],
                                      max_hits=max_hits,
                                      plans=[plans])[0]
@@ -431,6 +440,11 @@ _EXT_DIRECT_MAX = 768  # extensions at most this long skip the chunking
 # _dispatch_pieces).  ~256M cells = ~0.2s of 2-thread host DP, about one
 # remote-tunnel launch round-trip.
 _WAVE_MIN_CELLS = int(os.environ.get("TELR_WAVE_MIN_CELLS", 256_000_000))
+# ... and when a dispatch needs a kernel key not yet compiled in this
+# process, the bar is higher still: a cold key costs ~10-15s through the
+# remote tunnel, i.e. ~16G host DP cells
+_WAVE_COLD_MIN_CELLS = int(os.environ.get("TELR_WAVE_COLD_MIN_CELLS",
+                                          16_000_000_000))
 
 
 def _run_ext_round_cpu(jobs, runner=None):
@@ -580,12 +594,29 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
     if (wave_buckets or wave_ext_items) and not wave_interp \
             and not any(k[3] for k in wave_buckets) \
             and _native.has_banded_dp():
-        est = sum((len(q) + len(t)) * k[2]
-                  for k, items in wave_buckets.items()
-                  for (_ji, _tag, q, t, _g, _w) in items)
-        est += sum(len(q) * (_EXT_CHUNK + _EXT_SLACK)
-                   for (q, _t, _p) in wave_ext_items)
-        if est < _WAVE_MIN_CELLS:
+        from telr_tpu.kernels.pallas_wavefront import (_sbucket,
+                                                       warm_keys)
+        warm = warm_keys()
+        est = cold = 0
+        for k, items in wave_buckets.items():
+            for (_ji, _tag, q, t, _g, _w) in items:
+                c = (len(q) + len(t)) * k[2]
+                est += c
+                if (k[0], k[1], k[2],
+                        _sbucket(len(q) + len(t))) not in warm:
+                    cold += c
+        for (q, t, p) in wave_ext_items:
+            c = len(q) * (_EXT_CHUNK + _EXT_SLACK)
+            est += c
+            sb = _sbucket(min(len(q), _EXT_CHUNK)
+                          + min(len(t), _EXT_CHUNK + _EXT_SLACK))
+            if (p.tuple(), dp.EXTEND, 128, sb) not in warm:
+                cold += c
+        # a cold key costs ~10-15s (Mosaic lowering + remote compile
+        # round-trip), so medium-sized dispatches only go to the device
+        # when every key they need is already compiled in-process
+        if est < _WAVE_MIN_CELLS or \
+                (cold > 0 and est < _WAVE_COLD_MIN_CELLS):
             for (ptuple, mode, _wave_w, _i), items in wave_buckets.items():
                 params = dp.DPParams(*ptuple)
                 for (ji, tag, q, t, guide, width) in items:
@@ -653,20 +684,24 @@ def map_batch_grouped(
     band edge (band_margin 0 — the band likely clipped the optimal path),
     when the walk corrupts (geometry mismatch / band escape), or when the
     DP found no in-band path.  The retry re-runs the region piece only."""
+    from telr_tpu.utils import hoststats
     jobs = []  # [group_idx, qname, codes, chain, s_id, st, primary,
     #            geom, pieces]
-    for gi, (al, queries) in enumerate(groups):
-        gplans = plans[gi] if plans is not None else None
-        for qname, codes in queries.items():
-            picked = (gplans[qname] if gplans is not None
-                      else al._plan(codes))
-            for chain, s_id, st, primary in picked:
-                pieces, geom = al._chain_pieces(codes, chain, s_id, st)
-                jobs.append([gi, qname, codes, chain, s_id, st, primary,
-                             geom, pieces])
+    with hoststats.timer("map_plan_pieces"):
+        for gi, (al, queries) in enumerate(groups):
+            gplans = plans[gi] if plans is not None else None
+            for qname, codes in queries.items():
+                picked = (gplans[qname] if gplans is not None
+                          else al._plan(codes))
+                for chain, s_id, st, primary in picked:
+                    pieces, geom = al._chain_pieces(codes, chain, s_id,
+                                                    st)
+                    jobs.append([gi, qname, codes, chain, s_id, st,
+                                 primary, geom, pieces])
 
     piece_results = [dict() for _ in jobs]
-    _dispatch_pieces(groups, jobs, piece_results)
+    with hoststats.timer("map_dispatch"):
+        _dispatch_pieces(groups, jobs, piece_results)
 
     # assemble + per-query postprocess per group (order preserved);
     # jobs whose region band proved too narrow get one retry round
@@ -700,11 +735,12 @@ def map_batch_grouped(
         return aln, False
 
     retry_ids = []
-    for ji in range(len(jobs)):
-        aln, wants_retry = _try_assemble(ji)
-        alns_by_job[ji] = aln
-        if wants_retry:
-            retry_ids.append(ji)
+    with hoststats.timer("map_assemble"):
+        for ji in range(len(jobs)):
+            aln, wants_retry = _try_assemble(ji)
+            alns_by_job[ji] = aln
+            if wants_retry:
+                retry_ids.append(ji)
 
     if retry_ids:
         for ji in retry_ids:
@@ -715,10 +751,11 @@ def map_batch_grouped(
             new_w = min(dp._bucket(width * 4),
                         min(_REGION_WIDTH_CAP, dp._bucket(len(t) + 1)))
             jobs[ji][8] = {"region": (q, t, mode, new_w, guide)}
-        _dispatch_pieces(groups, jobs, piece_results, retry_ids)
-        for ji in retry_ids:
-            aln, _ = _try_assemble(ji)
-            alns_by_job[ji] = aln
+        with hoststats.timer("map_retry"):
+            _dispatch_pieces(groups, jobs, piece_results, retry_ids)
+            for ji in retry_ids:
+                aln, _ = _try_assemble(ji)
+                alns_by_job[ji] = aln
 
     for ji, (gi, qname, *_rest) in enumerate(jobs):
         per_group[gi][qname].append(alns_by_job[ji])

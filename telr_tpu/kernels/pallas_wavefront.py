@@ -17,6 +17,7 @@ stable compile keys.
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -867,6 +868,71 @@ def _start_cells(pairs, scheds, mode, g, b, bs, bp):
     return starts
 
 
+# ----------------------------------------------------------------------
+# warm-key registry + async prewarm.  A wavefront kernel compile key is
+# (params_tuple, mode, width, step-bucket); through the axon tunnel a
+# COLD key costs ~8-15s of host-side Mosaic lowering (the step-block
+# bodies are statically unrolled: ~100k MLIR ops at S=32768) plus the
+# remote compile/cache round-trip — measured 113.7s of a 130s cold
+# 300-read map_batch vs 4.1s warm (hoststats, 2026-08-20).  The mapper
+# consults warm_keys() to route small cold dispatches to the host
+# engine, and stage-1 warms its standard keys in background threads
+# while read parsing + plan fan-out run on other cores.
+_WARM: set = set()
+_PREWARM_STARTED: set = set()
+
+# the keys a stage-1 genome mapping touches (region DPs by read-length
+# bucket, chunked extensions, and the width-escalation retries)
+STAGE1_KEYS = [
+    (0, 128, 32768), (1, 128, 2048), (0, 128, 8192), (0, 128, 2048),
+    (0, 128, 512), (1, 128, 512), (0, 512, 8192), (0, 512, 32768),
+    (0, 2048, 32768),
+]
+
+
+def warm_keys() -> set:
+    """Snapshot of compiled-this-process wavefront keys."""
+    return _WARM
+
+
+def ensure_prewarm_async(params, keys=None, threads: int = 3) -> None:
+    """Start background compilation of the standard stage-1 kernel keys.
+
+    Idempotent per params tuple; no-op on a CPU backend (the host path
+    never launches the kernel).  Threads trace/lower under the GIL, so
+    call this while the main thread is about to block on worker
+    processes (read parsing, plan fan-out) — the lowering then hides
+    behind work that holds no GIL."""
+    pt = params.tuple()
+    if pt in _PREWARM_STARTED:
+        return
+    if jax.devices()[0].platform == "cpu":
+        return
+    _PREWARM_STARTED.add(pt)
+    import threading
+
+    keys = list(keys or STAGE1_KEYS)
+
+    def _runner(sub):
+        rng = np.random.default_rng(0)
+        for mode, width, s in sub:
+            if (pt, mode, width, s) in _WARM:
+                continue
+            try:
+                lq = max(64, s // 2 - 200)
+                t = rng.integers(0, 4, lq + 150).astype(np.int8)
+                q = t[:lq].copy()
+                wavefront_align([(q, t)], width, mode, params)
+            except Exception:   # advisory: a failed prewarm only means
+                pass            # the real dispatch pays the compile
+
+    for i in range(threads):
+        sub = keys[i::threads]
+        if sub:
+            threading.Thread(target=_runner, args=(sub,),
+                             daemon=True).start()
+
+
 def _retry_transient(fn, attempts: int = 4, delay_s: float = 5.0):
     """Retry a device dispatch through transient remote-runtime failures.
 
@@ -975,26 +1041,29 @@ def wavefront_align(
     # TWO arrays (bit-packed op codes + the (7, n) scalar stack).  A
     # bounded in-flight window caps resident dirs tensors (~1GB each) so
     # a genome-scale batch of hundreds of chunks can't exhaust HBM.
+    from telr_tpu.utils import hoststats
     MAX_INFLIGHT = 4
     issued = []
     collected = []
 
     def _collect_one():
         sel_c, n_c, packed_c, small_c = issued.pop(0)
-        collected.append((sel_c, n_c, np.asarray(packed_c),
-                          np.asarray(small_c)))
+        with hoststats.timer("wave_device_wait"):
+            collected.append((sel_c, n_c, np.asarray(packed_c),
+                              np.asarray(small_c)))
 
     for sel, g_fixed, sp in chunks:
         cp = [pairs[i] for i in sel]
         cg = [guides[i] for i in sel] if guides is not None else None
-        meta, init, scal, n_tiles, n, scheds, gmeta = \
-            prepare_wavefront_batch(cp, width, cg, min_groups=g_fixed,
-                                    min_steps=sp)
-        S_pad = n_tiles * STEP_TILE
-        # ship the compact wire arrays ONCE; the kernel call and the
-        # traceback walk share the same device buffers
-        meta = _jax.device_put(meta)
-        scal = _jax.device_put(scal)
+        with hoststats.timer("wave_prep"):
+            meta, init, scal, n_tiles, n, scheds, gmeta = \
+                prepare_wavefront_batch(cp, width, cg, min_groups=g_fixed,
+                                        min_steps=sp)
+            S_pad = n_tiles * STEP_TILE
+            # ship the compact wire arrays ONCE; the kernel call and the
+            # traceback walk share the same device buffers
+            meta = _jax.device_put(meta)
+            scal = _jax.device_put(scal)
 
         def _launch():
             gout, bout, bs_d, bp_d, dirs = _call_kernel(
@@ -1004,7 +1073,9 @@ def wavefront_align(
             return _device_traceback_from_best(
                 dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
                 S_max=S_pad, NB=S_pad // 8, W=width)
-        packed, small = _retry_transient(_launch)
+        with hoststats.timer("wave_launch"):
+            packed, small = _retry_transient(_launch)
+        _WARM.add((params.tuple(), mode, width, sp))
         issued.append((sel, n, packed, small))
         while len(issued) >= MAX_INFLIGHT:
             _collect_one()
@@ -1012,6 +1083,7 @@ def wavefront_align(
         _collect_one()
 
     out = [None] * len(pairs)
+    t_decode = time.perf_counter()
     for (sel, n, packed, small) in collected:
         ops = _unpack_ops(packed)                  # (S_max, n)
         g = small[0, :n]
@@ -1046,4 +1118,6 @@ def wavefront_align(
                 ei, ej = int(fi[k]), int(fj[k])
             out[sel[k]] = {"score": score, "cigar": cigar, "qstart": ei,
                            "tstart": ej, "qend": si, "tend": sj}
+    hoststats.add("wave_decode", time.perf_counter() - t_decode,
+                  len(collected))
     return out

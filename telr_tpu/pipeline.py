@@ -275,6 +275,9 @@ def run_pipeline(
             len(reads) / stage_seconds["alignment"],
             n_bases / 1e6 / stage_seconds["alignment"],
             len(reads), len(store))
+        from telr_tpu.utils import hoststats
+        logger.info("alignment breakdown: %s", hoststats.snapshot())
+        hoststats.reset()
 
     with timed("sv_detection"):
         records = detect_insertions(store, reads, config.sv, sample_name)
