@@ -17,6 +17,7 @@ stable compile keys.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -822,13 +823,19 @@ def _device_traceback_from_best(dirs, meta, scal, gout, bout, bs, bp, *,
 
 
 def _unpack_ops(packed: np.ndarray) -> np.ndarray:
-    """Host inverse of the 4-codes-per-byte packing."""
+    """Host inverse of the 4-codes-per-byte packing.
+
+    Returns (n, S_max) — TRANSPOSED so each pair's op stream is
+    contiguous: the decode loop's per-pair mask/diff passes ran 10x
+    slower on strided (S_max, n) column views (8MB stride-256 reads
+    per pair at S=32768, G=256)."""
     s4, n = packed.shape
-    ops = np.empty((s4 * 4, n), dtype=np.int8)
-    ops[0::4] = packed & 3
-    ops[1::4] = (packed >> 2) & 3
-    ops[2::4] = (packed >> 4) & 3
-    ops[3::4] = (packed >> 6) & 3
+    pt = np.ascontiguousarray(packed.T)            # (n, s4)
+    ops = np.empty((n, s4 * 4), dtype=np.int8)
+    ops[:, 0::4] = pt & 3
+    ops[:, 1::4] = (pt >> 2) & 3
+    ops[:, 2::4] = (pt >> 4) & 3
+    ops[:, 3::4] = (pt >> 6) & 3
     return ops
 
 
@@ -866,6 +873,109 @@ def _start_cells(pairs, scheds, mode, g, b, bs, bp):
             score = int(b[idx])
         starts.append((si, sj, score))
     return starts
+
+
+def _g_fixed(sp: int, width: int, budget: int = 1 << 30,
+             max_chunk: int = 4096) -> int:
+    """Fixed group count per (S-bucket, width) chunk: the memory-budget
+    maximum, so every chunk of a genome run shares ONE kernel grid
+    (budget bounds the resident dirs tensor ~8*S*W bytes/group;
+    max_chunk bounds host-side schedule building per chunk)."""
+    g_budget = max(1, budget // (8 * sp * width))
+    g = 1
+    while g * 2 <= min(g_budget, max_chunk // 8):
+        g *= 2
+    return g
+
+
+# ----------------------------------------------------------------------
+# AOT artifact cache.  jax persists compiled XLA executables across
+# processes, but every process still pays Python tracing + Mosaic
+# lowering per kernel key — ~8.5s at S=32768 (the statically-unrolled
+# step blocks lower to ~100k MLIR ops) and GIL-bound, so it starves the
+# dispatch thread when done concurrently.  jax.export moves that cost
+# offline: the fused kernel+traceback step is traced/lowered ONCE (by
+# tools/prewarm_wavefront.py --export) and serialized to disk; loading
+# deserializes StableHLO (C++, no GIL) and compiles through the
+# persistent cache — measured 5.4s cold vs ~15s, with exact output
+# parity.  Artifacts key on the kernel-source hash, so editing this
+# file invalidates them automatically.
+_AOT_DIR = os.environ.get("TELR_AOT_CACHE",
+                          os.path.expanduser("~/.telr_aot"))
+_AOT_MEM: Dict[tuple, object] = {}
+_SRC_TAG: Optional[str] = None
+
+
+def _aot_tag() -> str:
+    global _SRC_TAG
+    if _SRC_TAG is None:
+        import hashlib
+        with open(__file__, "rb") as f:
+            _SRC_TAG = hashlib.md5(f.read()).hexdigest()[:10]
+    return _SRC_TAG
+
+
+def _aot_path(mode: int, width: int, sp: int, g: int, pt: tuple) -> str:
+    name = (f"wf_{_aot_tag()}_{jax.__version__}_m{mode}_w{width}_s{sp}"
+            f"_g{g}_" + "_".join(str(x) for x in pt) + ".jaxexp")
+    return os.path.join(_AOT_DIR, name)
+
+
+def _aot_load(mode: int, width: int, sp: int, g: int, pt: tuple):
+    """Deserialized fused-step artifact for a key, or None (memoized)."""
+    key = (mode, width, sp, g, pt)
+    if key not in _AOT_MEM:
+        fn = None
+        path = _aot_path(mode, width, sp, g, pt)
+        if os.path.exists(path):
+            try:
+                from jax import export as jexport
+                with open(path, "rb") as f:
+                    fn = jexport.deserialize(f.read())
+            except Exception:
+                fn = None   # stale/corrupt artifact: fall back to jit
+        _AOT_MEM[key] = fn
+    return _AOT_MEM[key]
+
+
+def _fused_step(width: int, mode: int, params_tuple: tuple,
+                n_tiles: int):
+    """The whole device round: kernel + on-device traceback walk.
+    Returns (packed op codes, (7, n) scalar stack)."""
+    S_pad = n_tiles * STEP_TILE
+
+    def fused(meta, init, scal, gmeta):
+        gout, bout, bs_d, bp_d, dirs = _call_kernel(
+            meta, init, scal, gmeta, width=width, mode=mode,
+            params_tuple=params_tuple, n_tiles=n_tiles,
+            interpret=False, tb=True)
+        return _device_traceback_from_best(
+            dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
+            S_max=S_pad, NB=S_pad // 8, W=width)
+    return fused
+
+
+def aot_save(mode: int, width: int, sp: int, params) -> str:
+    """Trace, export and persist the fused step for one key (offline
+    tool path; see tools/prewarm_wavefront.py --export)."""
+    from jax import export as jexport
+    g = _g_fixed(sp, width)
+    rng = np.random.default_rng(0)
+    lq = max(64, sp // 2 - 200)
+    t = rng.integers(0, 4, lq + 150).astype(np.int8)
+    q = t[:lq].copy()
+    meta, init, scal, n_tiles, _n, _scheds, gmeta = \
+        prepare_wavefront_batch([(q, t)], width, None, min_groups=g,
+                                min_steps=sp)
+    fused = _fused_step(width, mode, params.tuple(), n_tiles)
+    exp = jexport.export(jax.jit(fused))(meta, init, scal, gmeta)
+    os.makedirs(_AOT_DIR, exist_ok=True)
+    path = _aot_path(mode, width, sp, g, params.tuple())
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(exp.serialize())
+    os.replace(tmp, path)
+    return path
 
 
 # ----------------------------------------------------------------------
@@ -991,8 +1101,6 @@ def wavefront_align(
     # (S-bucket, width, mode) — each distinct grid is a ~4-minute compile
     # through the remote tunnel, and padded groups carry zero-step loop
     # bounds so they cost no device time.
-    budget = 1 << 30
-    max_chunk = 4096     # bounds host-side schedule building per chunk
     by_bucket: Dict[int, List[int]] = {}
     for i in range(len(pairs)):
         by_bucket.setdefault(
@@ -1000,10 +1108,7 @@ def wavefront_align(
     chunks: List[Tuple[List[int], int, int]] = []  # (idxs, G_fixed, S)
     for sp in sorted(by_bucket):
         idxs = by_bucket[sp]
-        g_budget = max(1, budget // (8 * sp * width))
-        g_fixed = 1
-        while g_fixed * 2 <= min(g_budget, max_chunk // 8):
-            g_fixed *= 2
+        g_fixed = _g_fixed(sp, width)
         step = g_fixed * 8
         for lo in range(0, len(idxs), step):
             chunks.append((idxs[lo:lo + step], g_fixed, sp))
@@ -1059,20 +1164,28 @@ def wavefront_align(
             meta, init, scal, n_tiles, n, scheds, gmeta = \
                 prepare_wavefront_batch(cp, width, cg, min_groups=g_fixed,
                                         min_steps=sp)
-            S_pad = n_tiles * STEP_TILE
             # ship the compact wire arrays ONCE; the kernel call and the
             # traceback walk share the same device buffers
             meta = _jax.device_put(meta)
             scal = _jax.device_put(scal)
 
+        exp = (None if interpret else
+               _aot_load(mode, width, sp, g_fixed, params.tuple()))
+
         def _launch():
-            gout, bout, bs_d, bp_d, dirs = _call_kernel(
-                meta, init, scal, gmeta, width=width, mode=mode,
-                params_tuple=params.tuple(), n_tiles=n_tiles,
-                interpret=interpret, tb=True)
-            return _device_traceback_from_best(
-                dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
-                S_max=S_pad, NB=S_pad // 8, W=width)
+            if exp is not None:
+                return exp.call(meta, init, scal, gmeta)
+            if interpret:
+                S_pad = n_tiles * STEP_TILE
+                gout, bout, bs_d, bp_d, dirs = _call_kernel(
+                    meta, init, scal, gmeta, width=width, mode=mode,
+                    params_tuple=params.tuple(), n_tiles=n_tiles,
+                    interpret=True, tb=True)
+                return _device_traceback_from_best(
+                    dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
+                    S_max=S_pad, NB=S_pad // 8, W=width)
+            return _fused_step(width, mode, params.tuple(),
+                               n_tiles)(meta, init, scal, gmeta)
         with hoststats.timer("wave_launch"):
             packed, small = _retry_transient(_launch)
         _WARM.add((params.tuple(), mode, width, sp))
@@ -1085,7 +1198,7 @@ def wavefront_align(
     out = [None] * len(pairs)
     t_decode = time.perf_counter()
     for (sel, n, packed, small) in collected:
-        ops = _unpack_ops(packed)                  # (S_max, n)
+        ops = _unpack_ops(packed)                  # (n, S_max)
         g = small[0, :n]
         b = small[1, :n]
         fi = small[2]
@@ -1101,7 +1214,7 @@ def wavefront_align(
                 continue
             score = int(g[k]) if mode == GLOBAL else int(b[k])
             si, sj = int(si_a[k]), int(sj_a[k])
-            cigar = _rle(ops[:, k])
+            cigar = _rle(ops[k])
             if mode != LOCAL:
                 lead: List[Tuple[str, int]] = []
                 if fi[k] > 0:

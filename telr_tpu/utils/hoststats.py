@@ -8,17 +8,26 @@ targets the real bottleneck instead of a guess (the 505s stage-1 wall of
 GENOME_EVAL_wf3mb attributed ~70% to untracked host+tunnel time).
 
 Usage: with timer("wave_prep"): ...;  snapshot() -> dict, reset() zeroes.
-Thread-unsafe by design (single host dispatch thread owns the hot path).
+Counters are per-thread (threading.local): the async kernel-prewarm
+threads also run wavefront_align, and global counters double-counted
+their compile waits into the main dispatch thread's numbers.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
 
-_C: dict = defaultdict(float)
-_N: dict = defaultdict(int)
+_TL = threading.local()
+
+
+def _c():
+    if not hasattr(_TL, "c"):
+        _TL.c = defaultdict(float)
+        _TL.n = defaultdict(int)
+    return _TL.c, _TL.n
 
 
 @contextmanager
@@ -27,19 +36,23 @@ def timer(name: str):
     try:
         yield
     finally:
-        _C[name] += time.perf_counter() - t0
-        _N[name] += 1
+        c, n = _c()
+        c[name] += time.perf_counter() - t0
+        n[name] += 1
 
 
 def add(name: str, seconds: float, n: int = 1) -> None:
-    _C[name] += seconds
-    _N[name] += n
+    c, cn = _c()
+    c[name] += seconds
+    cn[name] += n
 
 
 def snapshot() -> dict:
-    return {k: {"s": round(v, 2), "n": _N[k]} for k, v in sorted(_C.items())}
+    c, n = _c()
+    return {k: {"s": round(v, 2), "n": n[k]} for k, v in sorted(c.items())}
 
 
 def reset() -> None:
-    _C.clear()
-    _N.clear()
+    c, n = _c()
+    c.clear()
+    n.clear()

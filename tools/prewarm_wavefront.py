@@ -38,6 +38,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="only the two hottest stage-1 keys")
+    ap.add_argument("--export", action="store_true",
+                    help="also write jax.export AOT artifacts (skips "
+                         "per-process tracing+Mosaic lowering, ~8.5s/key "
+                         "at S=32768)")
     args = ap.parse_args()
 
     import jax
@@ -47,25 +51,18 @@ def main():
     print("device:", jax.devices()[0], flush=True)
 
     from telr_tpu.kernels import dp
-    from telr_tpu.kernels.pallas_wavefront import wavefront_align
+    from telr_tpu.kernels.pallas_wavefront import (STAGE1_KEYS, aot_save,
+                                                   wavefront_align)
 
-    keys = [
-        (dp.GLOBAL, 128, 32768),   # whole-read region DPs (the bulk)
-        (dp.EXTEND, 128, 2048),    # chunked extensions
-    ]
-    if not args.quick:
-        keys += [
-            (dp.GLOBAL, 128, 8192),    # short reads
-            (dp.GLOBAL, 128, 2048),    # tiny regions (flanks, INS seqs)
-            (dp.GLOBAL, 128, 512),
-            (dp.EXTEND, 128, 512),     # short direct extensions
-            (dp.GLOBAL, 512, 8192),    # jump-widened regions
-            (dp.GLOBAL, 512, 32768),
-            (dp.GLOBAL, 2048, 32768),  # worst-case insertion bends
-        ]
+    keys = STAGE1_KEYS[:2] if args.quick else list(STAGE1_KEYS)
     rng = np.random.default_rng(0)
     params = dp.DPParams()
     for mode, width, s in keys:
+        if args.export:
+            t0 = time.time()
+            path = aot_save(mode, width, s, params)
+            print(f"export mode={mode} W={width} S={s}: "
+                  f"{time.time()-t0:.1f}s -> {path}", flush=True)
         q, t = pair_of_steps(rng, s)
         t0 = time.time()
         res = wavefront_align([(q, t)], width, mode, params)
