@@ -35,7 +35,18 @@ _OP_CODE = {"M": OP_M, "I": OP_I, "D": OP_D}
 
 
 def _bucket(n: int, step: int) -> int:
-    return max(step, ((n + step - 1) // step) * step)
+    """Power-of-two padded size with floor `step`.
+
+    Was linear (ceil to multiple of step): at step=32 on the runs axis a
+    genome run produced dozens of distinct padded shapes, and each
+    distinct shape is a separate jit key -> a remote compile through the
+    tunnel.  Geometric bucketing bounds keys to ~4 per axis; the vote
+    kernel is cheap elementwise work, so <=2x padding costs far less
+    than one recompile."""
+    b = step
+    while b < n:
+        b *= 2
+    return b
 
 
 def leftshift_ins(backbone: np.ndarray, tj: int,
