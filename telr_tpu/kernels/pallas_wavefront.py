@@ -31,6 +31,19 @@ from telr_tpu.kernels.dp import GLOBAL, EXTEND, LOCAL, NEG_INF, DPParams
 from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 
 STEP_TILE = 128
+
+_SCHED_POOL = None
+
+
+def _sched_pool():
+    """Shared thread pool for host-side batch prep (lazy singleton)."""
+    global _SCHED_POOL
+    if _SCHED_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _SCHED_POOL = ThreadPoolExecutor(max_workers=4)
+    return _SCHED_POOL
+
+
 N_ALT_RUNS = 8       # canonical-zigzag runs tracked per interior region
 N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
                      # band exceeds the matrix the interior is empty and
@@ -443,15 +456,21 @@ def prepare_wavefront_batch(
     while Gb < G:
         Gb *= 2
     G = max(Gb, min_groups)
-    scheds: List[Optional[WaveSchedule]] = []
-    for idx in range(G * 8):
-        if idx < n:
-            q, t = pairs[idx]
-            gq, gt = (guides[idx] if guides is not None and
-                      guides[idx] is not None else (None, None))
-            scheds.append(build_schedule(q, t, width, gq, gt))
-        else:
-            scheds.append(None)
+
+    def _build_one(idx: int) -> Optional[WaveSchedule]:
+        if idx >= n:
+            return None
+        q, t = pairs[idx]
+        gq, gt = (guides[idx] if guides is not None and
+                  guides[idx] is not None else (None, None))
+        return build_schedule(q, t, width, gq, gt)
+
+    # numpy releases the GIL inside its ufuncs, so schedule building
+    # threads well (~0.2s/chunk serial on genome-scale region batches)
+    if n >= 32:
+        scheds = list(_sched_pool().map(_build_one, range(G * 8)))
+    else:
+        scheds = [_build_one(i) for i in range(G * 8)]
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
     S_pad = max(_sbucket(S_max), min_steps)
 
@@ -1197,7 +1216,9 @@ def wavefront_align(
 
     out = [None] * len(pairs)
     t_decode = time.perf_counter()
-    for (sel, n, packed, small) in collected:
+
+    def _decode_chunk(item):
+        sel, n, packed, small = item
         ops = _unpack_ops(packed)                  # (n, S_max)
         g = small[0, :n]
         b = small[1, :n]
@@ -1231,6 +1252,14 @@ def wavefront_align(
                 ei, ej = int(fi[k]), int(fj[k])
             out[sel[k]] = {"score": score, "cigar": cigar, "qstart": ei,
                            "tstart": ej, "qend": si, "tend": sj}
+
+    # chunks decode independently (disjoint out slots); the numpy mask/
+    # diff passes inside _rle release the GIL, so threads overlap them
+    if len(collected) > 1:
+        list(_sched_pool().map(_decode_chunk, collected))
+    else:
+        for item in collected:
+            _decode_chunk(item)
     hoststats.add("wave_decode", time.perf_counter() - t_decode,
                   len(collected))
     return out
