@@ -441,10 +441,12 @@ _EXT_DIRECT_MAX = 768  # extensions at most this long skip the chunking
 # remote-tunnel launch round-trip.
 _WAVE_MIN_CELLS = int(os.environ.get("TELR_WAVE_MIN_CELLS", 256_000_000))
 # ... and when a dispatch needs a kernel key not yet compiled in this
-# process, the bar is higher still: a cold key costs ~10-15s through the
-# remote tunnel, i.e. ~16G host DP cells
+# process, the bar is higher still: a dispatch typically needs ~6 keys
+# at ~15s each through the remote tunnel, i.e. ~90s ~ 64G host DP cells
+# (measured: ref_repeatmask at 10Mb, est ~16G, took 158s on cold device
+# keys vs ~47s on host)
 _WAVE_COLD_MIN_CELLS = int(os.environ.get("TELR_WAVE_COLD_MIN_CELLS",
-                                          16_000_000_000))
+                                          64_000_000_000))
 
 
 def _run_ext_round_cpu(jobs, runner=None):

@@ -50,16 +50,26 @@ N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
                      # the whole schedule lands in one masked region)
 
 
-def _sbucket(s: int) -> int:
-    """Step-budget bucket: geometric x4 from STEP_TILE.
+# Step-budget ladder.  Pad steps beyond a group's real step count never
+# execute (dynamic per-group loop bounds, see _kernel), but device time
+# IS proportional to the padded step count of non-empty groups (~0.47us
+# per (group, step) at W<=512), so the ladder is shaped around the
+# workload: 1280 catches the chunked-extension rounds (<=1216 steps; the
+# old x4 ladder padded them 58% into 2048), and the 12288..24576 rungs
+# catch the 5-12kb long-read region DPs the x4 ladder padded ~2x into
+# 32768.  Every rung is a distinct kernel key — cold cost is bounded by
+# the AOT artifacts + async prewarm (see below).
+_S_LADDER = (128, 512, 1280, 2048, 4096, 8192, 12288, 16384, 24576,
+             32768)
 
-    Coarse on purpose — pad steps beyond a group's real step count never
-    execute (dynamic per-group loop bounds, see _kernel), so a larger
-    budget costs only meta/dirs memory while every distinct budget is a
-    separate ~2.5s kernel trace + compile."""
-    b = STEP_TILE
+
+def _sbucket(s: int) -> int:
+    for b in _S_LADDER:
+        if s <= b:
+            return b
+    b = _S_LADDER[-1]
     while b < s:
-        b *= 4
+        b *= 2
     return b
 
 
@@ -1011,12 +1021,16 @@ _WARM: set = set()
 _PREWARM_STARTED: set = set()
 
 # the keys a stage-1 genome mapping touches (region DPs by read-length
-# bucket, chunked extensions, and the width-escalation retries)
-STAGE1_KEYS = [
-    (0, 128, 32768), (1, 128, 2048), (0, 128, 8192), (0, 128, 2048),
-    (0, 128, 512), (1, 128, 512), (0, 512, 8192), (0, 512, 32768),
-    (0, 2048, 32768),
-]
+# bucket, chunked extensions, and the width-escalation retries), hottest
+# first so the prewarm threads compile them in need order
+STAGE1_KEYS = (
+    [(0, 128, 24576), (1, 128, 1280), (0, 128, 32768), (0, 128, 16384),
+     (0, 128, 12288)]
+    + [(0, 128, s) for s in (8192, 4096, 2048, 1280, 512)]
+    + [(1, 128, s) for s in (2048, 512)]
+    + [(0, 512, s) for s in (32768, 24576, 16384, 12288, 8192)]
+    + [(0, 2048, 32768)]
+)
 
 
 def warm_keys() -> set:

@@ -166,6 +166,17 @@ def run_pipeline(
     from telr_tpu.utils.procpool import ensure_forkserver
     ensure_forkserver()   # before jax spins up threads (see procpool.py)
     config = config or default_config()
+    if config.use_wavefront:
+        # background-compile the library-homology kernel keys now so the
+        # te_filter/repeatmask stages (minutes away, behind stage-1) hit
+        # a warm cache; stage-1's own keys are prewarmed by the mapper
+        from telr_tpu.config import LIB_TO_SEQ
+        from telr_tpu.kernels.dp import DPParams
+        from telr_tpu.kernels.pallas_wavefront import ensure_prewarm_async
+        ensure_prewarm_async(DPParams(
+            match=LIB_TO_SEQ.match, mismatch=LIB_TO_SEQ.mismatch,
+            gap_open=LIB_TO_SEQ.gap_open,
+            gap_extend=LIB_TO_SEQ.gap_extend), threads=1)
     if profile_dir:
         import jax
         # bounded trace: HLO protos + verbose host events off — a full

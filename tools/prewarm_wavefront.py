@@ -54,21 +54,32 @@ def main():
     from telr_tpu.kernels.pallas_wavefront import (STAGE1_KEYS, aot_save,
                                                    wavefront_align)
 
+    from telr_tpu.config import LIB_TO_SEQ
+
     keys = STAGE1_KEYS[:2] if args.quick else list(STAGE1_KEYS)
     rng = np.random.default_rng(0)
-    params = dp.DPParams()
-    for mode, width, s in keys:
-        if args.export:
+    param_sets = [("map", dp.DPParams())]
+    if not args.quick:
+        # library-homology stages (te_filter / repeatmask) score with the
+        # LIB_TO_SEQ preset — a distinct compile-key family
+        param_sets.append(("lib", dp.DPParams(
+            match=LIB_TO_SEQ.match, mismatch=LIB_TO_SEQ.mismatch,
+            gap_open=LIB_TO_SEQ.gap_open,
+            gap_extend=LIB_TO_SEQ.gap_extend)))
+    for pname, params in param_sets:
+        for mode, width, s in keys:
+            if args.export:
+                t0 = time.time()
+                path = aot_save(mode, width, s, params)
+                print(f"export {pname} mode={mode} W={width} S={s}: "
+                      f"{time.time()-t0:.1f}s -> {path}", flush=True)
+            q, t = pair_of_steps(rng, s)
             t0 = time.time()
-            path = aot_save(mode, width, s, params)
-            print(f"export mode={mode} W={width} S={s}: "
-                  f"{time.time()-t0:.1f}s -> {path}", flush=True)
-        q, t = pair_of_steps(rng, s)
-        t0 = time.time()
-        res = wavefront_align([(q, t)], width, mode, params)
-        ok = res and res[0]["score"] > dp.NEG_INF // 2
-        print(f"mode={mode} W={width} S={s}: {time.time()-t0:.1f}s "
-              f"({'ok' if ok else 'FAILED'})", flush=True)
+            res = wavefront_align([(q, t)], width, mode, params)
+            ok = res and res[0]["score"] > dp.NEG_INF // 2
+            print(f"{pname} mode={mode} W={width} S={s}: "
+                  f"{time.time()-t0:.1f}s ({'ok' if ok else 'FAILED'})",
+                  flush=True)
 
 
 if __name__ == "__main__":
