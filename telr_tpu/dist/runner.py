@@ -312,6 +312,30 @@ def run_pipeline_multiprocess(
                               use_wavefront=config.use_wavefront,
                               window_names=window_names)
 
+    with timed("ref_repeatmask"):
+        # family-sharded reference repeatmask: each family's homology
+        # sweep is independent of the others, so process p masks the
+        # families with index % P == p against the (replicated)
+        # reference and the per-family row groups are re-assembled in
+        # LIBRARY ORDER — the stable bedtools sort then reproduces the
+        # single-process row order exactly.  Was a 33s serial stage on
+        # process 0 while every other process idled (SCALING_r04 2p).
+        fam_names = [s.name for s in library]
+        mine_lib = SeqDict([library[n]
+                            for i, n in enumerate(fam_names)
+                            if i % P == pid])
+        part = repeatmask_reference(reference, mine_lib,
+                                    use_wavefront=config.use_wavefront)
+        by_fam: Dict[str, list] = {}
+        for i in range(len(part)):
+            r = part.row(i)
+            by_fam.setdefault(r[3], []).append(r)
+        gathered_fams: Dict[str, list] = {}
+        for p_rows in _allgather_obj(by_fam):
+            gathered_fams.update(p_rows)
+        ref_rows = [r for n in fam_names
+                    for r in gathered_fams.get(n, [])]
+
     with timed("gather_results"):
         payload = {
             "contigs": [(s.name, s.codes) for s in contigs],
@@ -368,11 +392,10 @@ def run_pipeline_multiprocess(
         for e in eval_map.get(rec.locus_name, []):
             merged_eval.entries.append(e)
 
-    with timed("ref_repeatmask"):
-        ref_te_bed = repeatmask_reference(
-            reference, library, use_wavefront=config.use_wavefront)
-        if len(ref_te_bed) == 0:
-            ref_te_bed = None
+    ref_te_bed = Intervals.from_rows(
+        ref_rows, ("family", "score", "strand")).sort()
+    if len(ref_te_bed) == 0:
+        ref_te_bed = None
 
     with timed("liftover"):
         lift_report, _nonref_bed, summary = liftover(

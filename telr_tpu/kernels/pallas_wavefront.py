@@ -53,14 +53,14 @@ N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
 # Step-budget ladder.  Pad steps beyond a group's real step count never
 # execute (dynamic per-group loop bounds, see _kernel), but device time
 # IS proportional to the padded step count of non-empty groups (~0.47us
-# per (group, step) at W<=512), so the ladder is shaped around the
-# workload: 1280 catches the chunked-extension rounds (<=1216 steps; the
-# old x4 ladder padded them 58% into 2048), and the 12288..24576 rungs
-# catch the 5-12kb long-read region DPs the x4 ladder padded ~2x into
-# 32768.  Every rung is a distinct kernel key — cold cost is bounded by
-# the AOT artifacts + async prewarm (see below).
-_S_LADDER = (128, 512, 1280, 2048, 4096, 8192, 12288, 16384, 24576,
-             32768)
+# per (group, step) at W<=512).  The ladder stays coarse on purpose:
+# every rung is a distinct kernel key costing ~5-7s cold per process
+# even with AOT artifacts, and an experiment with 10 rungs (A/B on the
+# 3Mb stage-1 bench) paid +90s cold for only ~2s of warm device time —
+# the x4 ladder plus ONE extra rung at 1280 (the chunked-extension
+# rounds' <=1216 steps, 58% padded into 2048 otherwise) is the optimum
+# found.
+_S_LADDER = (128, 512, 1280, 2048, 8192, 32768)
 
 
 def _sbucket(s: int) -> int:
@@ -1023,14 +1023,11 @@ _PREWARM_STARTED: set = set()
 # the keys a stage-1 genome mapping touches (region DPs by read-length
 # bucket, chunked extensions, and the width-escalation retries), hottest
 # first so the prewarm threads compile them in need order
-STAGE1_KEYS = (
-    [(0, 128, 24576), (1, 128, 1280), (0, 128, 32768), (0, 128, 16384),
-     (0, 128, 12288)]
-    + [(0, 128, s) for s in (8192, 4096, 2048, 1280, 512)]
-    + [(1, 128, s) for s in (2048, 512)]
-    + [(0, 512, s) for s in (32768, 24576, 16384, 12288, 8192)]
-    + [(0, 2048, 32768)]
-)
+STAGE1_KEYS = [
+    (0, 128, 32768), (1, 128, 1280), (0, 128, 8192), (0, 128, 2048),
+    (0, 128, 1280), (0, 128, 512), (1, 128, 512), (0, 512, 8192),
+    (0, 512, 32768), (0, 2048, 32768),
+]
 
 
 def warm_keys() -> set:
