@@ -31,19 +31,6 @@ from telr_tpu.kernels.dp import GLOBAL, EXTEND, LOCAL, NEG_INF, DPParams
 from telr_tpu.kernels.wavefront import WaveSchedule, build_schedule
 
 STEP_TILE = 128
-
-_SCHED_POOL = None
-
-
-def _sched_pool():
-    """Shared thread pool for host-side batch prep (lazy singleton)."""
-    global _SCHED_POOL
-    if _SCHED_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _SCHED_POOL = ThreadPoolExecutor(max_workers=4)
-    return _SCHED_POOL
-
-
 N_ALT_RUNS = 8       # canonical-zigzag runs tracked per interior region
 N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
                      # band exceeds the matrix the interior is empty and
@@ -475,12 +462,11 @@ def prepare_wavefront_batch(
                   guides[idx] is not None else (None, None))
         return build_schedule(q, t, width, gq, gt)
 
-    # numpy releases the GIL inside its ufuncs, so schedule building
-    # threads well (~0.2s/chunk serial on genome-scale region batches)
-    if n >= 32:
-        scheds = list(_sched_pool().map(_build_one, range(G * 8)))
-    else:
-        scheds = [_build_one(i) for i in range(G * 8)]
+    # NOTE: a 4-thread fan-out of _build_one was tried and REGRESSED prep
+    # 14.2s -> 27.8s on the 3Mb stage-1 bench — build_schedule's many
+    # small numpy ops spend more time bouncing the GIL than computing.
+    # Keep it serial; the win here is fewer/smaller chunks, not threads.
+    scheds = [_build_one(i) for i in range(G * 8)]
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
     S_pad = max(_sbucket(S_max), min_steps)
 
@@ -1264,13 +1250,12 @@ def wavefront_align(
             out[sel[k]] = {"score": score, "cigar": cigar, "qstart": ei,
                            "tstart": ej, "qend": si, "tend": sj}
 
-    # chunks decode independently (disjoint out slots); the numpy mask/
-    # diff passes inside _rle release the GIL, so threads overlap them
-    if len(collected) > 1:
-        list(_sched_pool().map(_decode_chunk, collected))
-    else:
-        for item in collected:
-            _decode_chunk(item)
+    # serial on purpose: a 4-thread fan-out over chunks measured SLOWER
+    # (7.8s -> 9.2s on the 3Mb stage-1 bench) — the per-pair RLE is
+    # dominated by small GIL-holding ops, and the transposed unpack
+    # already took the big win (48s -> 8s)
+    for item in collected:
+        _decode_chunk(item)
     hoststats.add("wave_decode", time.perf_counter() - t_decode,
                   len(collected))
     return out
