@@ -64,7 +64,15 @@ def get_args(argv=None):
     p.add_argument("--wavefront", choices=["auto", "on", "off"],
                    default="auto",
                    help="route DP through the Pallas wavefront kernel "
-                        "(auto: on when the backend is a TPU)")
+                        "(auto: on a TPU backend, route the stages that "
+                        "win on the device — assembly's large realign "
+                        "batches — and keep latency-bound stages on the "
+                        "native host engine; on: every stage; off: none)")
+    p.add_argument("--wavefront_stages", default=None,
+                   help="comma list of stages to route to the device "
+                        "(overrides --wavefront; names: alignment, "
+                        "te_filter, assembly, annotate, af, repeatmask, "
+                        "liftover)")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="shard stage-1 DP, the locus all-to-all and depth "
                         "reductions over an N-device jax mesh (0 = off)")
@@ -86,19 +94,34 @@ def get_args(argv=None):
     return args
 
 
-def _resolve_wavefront(choice: str) -> bool:
+# The stages whose DP batches are large enough to win on the device even
+# through a remote tunnel.  Stage-1's wall is single-thread host python
+# (prep/launch/decode — GENOME_EVAL r4 breakdown: device_wait 124s of
+# 926s) and annotate/repeatmask dispatch many tiny batches, so "auto"
+# keeps those on the native host engine.
+AUTO_WAVEFRONT_STAGES = ("assembly",)
+
+
+def _resolve_wavefront(choice: str, stages: str = None):
+    """-> (use_wavefront, wavefront_stages)."""
+    if stages:
+        return True, tuple(s.strip() for s in stages.split(",") if s.strip())
     if choice == "on":
-        return True
+        return True, None
     if choice == "off":
-        return False
+        return False, None
     try:
         import jax
-        return jax.devices()[0].platform != "cpu"
+        on_tpu = jax.devices()[0].platform != "cpu"
     except Exception:
-        return False
+        on_tpu = False
+    return (True, AUTO_WAVEFRONT_STAGES) if on_tpu else (False, None)
 
 
 def config_from_args(args) -> TELRConfig:
+    use_wf, wf_stages = _resolve_wavefront(
+        getattr(args, "wavefront", "auto"),
+        getattr(args, "wavefront_stages", None))
     return TELRConfig(
         presets=args.presets,
         sv=SVConfig(min_support=args.min_support),
@@ -114,8 +137,8 @@ def config_from_args(args) -> TELRConfig:
         different_contig_name=args.different_contig_name,
         keep_files=args.keep_files,
         threads=args.thread,
-        use_wavefront=_resolve_wavefront(getattr(args, "wavefront",
-                                                 "auto")),
+        use_wavefront=use_wf,
+        wavefront_stages=wf_stages,
     )
 
 

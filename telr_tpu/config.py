@@ -8,7 +8,7 @@ dataclass tree carrying pacbio/ont preset profiles.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,12 +180,39 @@ class TELRConfig:
     threads: int = 1               # stage-1 mapping worker processes (-t)
     use_wavefront: bool = False    # route mapper DPs through the Pallas
                                    # wavefront kernel (TPU execution path)
+    # Per-stage device routing.  None = every stage follows use_wavefront.
+    # A tuple of stage names routes ONLY those stages' DPs to the device
+    # and keeps the rest on the native host engine — the winning split on
+    # hosts where stage-1 is bound by single-thread python dispatch while
+    # assembly's large realign batches win on the device (GENOME_EVAL
+    # r4 breakdown: alignment device_wait 124s of 926s wall; assembly
+    # 370s on device vs 719s on host).  Names: alignment, te_filter,
+    # assembly, annotate, af, repeatmask, liftover.
+    wavefront_stages: Optional[Tuple[str, ...]] = None
+
+    def wavefront_for(self, stage: str) -> bool:
+        if self.wavefront_stages is None:
+            return self.use_wavefront
+        return stage in self.wavefront_stages
+
+    @property
+    def any_wavefront(self) -> bool:
+        return self.use_wavefront or bool(self.wavefront_stages)
 
     @property
     def read_preset(self) -> AlignPreset:
         return MAP_ONT if self.presets == "ont" else MAP_PB
 
+    _WAVEFRONT_STAGE_NAMES = ("alignment", "te_filter", "assembly",
+                              "annotate", "af", "repeatmask", "liftover")
+
     def validate(self) -> None:
+        if self.wavefront_stages is not None:
+            bad = set(self.wavefront_stages) - set(self._WAVEFRONT_STAGE_NAMES)
+            if bad:
+                raise ValueError(
+                    f"unknown wavefront_stages {sorted(bad)}; valid: "
+                    f"{self._WAVEFRONT_STAGE_NAMES}")
         if self.presets not in ("pacbio", "ont"):
             raise ValueError(
                 f"presets must be 'pacbio' or 'ont', got {self.presets!r}")

@@ -132,7 +132,7 @@ def run_pipeline_multiprocess(
         stage1_preset = dataclasses.replace(config.read_preset,
                                             chain_prune_frac=0.5)
         aligner = Aligner(reference, stage1_preset,
-                          use_wavefront=config.use_wavefront)
+                          use_wavefront=config.wavefront_for("alignment"))
         result = aligner.map_batch_parallel(
             {s.name: s.codes for s in local_reads}, config.threads)
         local_alns = [a for hits in result.values() for a in hits]
@@ -205,8 +205,9 @@ def run_pipeline_multiprocess(
         # re-gathered in sv_id order
         mine = [r for r in records
                 if regions.region_of(r.chrom, r.start) == pid]
-        mine = filter_te_candidates(mine, library, loci_eval,
-                                    use_wavefront=config.use_wavefront)
+        mine = filter_te_candidates(
+            mine, library, loci_eval,
+            use_wavefront=config.wavefront_for("te_filter"))
         records = [r for part in _allgather_obj(mine) for r in part]
         records.sort(key=lambda r: int(r.sv_id))
         records = merge_nearby_records(records, config.sv.merge_window)
@@ -292,24 +293,24 @@ def run_pipeline_multiprocess(
                         for rec in own_recs}
         contigs, passed = assemble_all(
             own_recs, shard_reads, config.read_preset, config.assembly,
-            loci_eval, use_wavefront=config.use_wavefront,
+            loci_eval, use_wavefront=config.wavefront_for("assembly"),
             extra_voters=extra_voters)
 
     with timed("annotate_contig"):
         contig_te, te_seqs = annotate_contigs(
             contigs, passed, library, own_recs, config.read_preset,
             config.annotate, loci_eval,
-            use_wavefront=config.use_wavefront)
+            use_wavefront=config.wavefront_for("annotate"))
         if not config.minimap2_family:
             contig_te = reannotate_families(
                 contig_te, te_seqs, library,
-                use_wavefront=config.use_wavefront)
+                use_wavefront=config.wavefront_for("annotate"))
 
     with timed("allele_frequency"):
         te_freq = estimate_af(own_recs, contigs, contig_te, shard_reads,
                               store, config.read_preset, config.af,
                               config.assembly,
-                              use_wavefront=config.use_wavefront,
+                              use_wavefront=config.wavefront_for("af"),
                               window_names=window_names)
 
     with timed("ref_repeatmask"):
@@ -324,8 +325,9 @@ def run_pipeline_multiprocess(
         mine_lib = SeqDict([library[n]
                             for i, n in enumerate(fam_names)
                             if i % P == pid])
-        part = repeatmask_reference(reference, mine_lib,
-                                    use_wavefront=config.use_wavefront)
+        part = repeatmask_reference(
+            reference, mine_lib,
+            use_wavefront=config.wavefront_for("repeatmask"))
         by_fam: Dict[str, list] = {}
         for i in range(len(part)):
             r = part.row(i)
@@ -401,7 +403,8 @@ def run_pipeline_multiprocess(
         lift_report, _nonref_bed, summary = liftover(
             contigs, reference, contig_te, ref_te_bed, config.liftover,
             different_contig_name=config.different_contig_name,
-            telr_mode=True, use_wavefront=config.use_wavefront)
+            telr_mode=True,
+            use_wavefront=config.wavefront_for("liftover"))
         for item in lift_report:
             info = item.get("report")
             if not info or info.get("type") != "non-reference":

@@ -49,6 +49,11 @@ N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
 # found.
 _S_LADDER = (128, 512, 1280, 2048, 8192, 32768)
 
+# Device-traceback byte-extract strategy ("select" | "gather" | "window");
+# see _device_traceback.  Trace-time switch: chosen per compile, parity-
+# locked by tests/test_wavefront_traceback.py across all three.
+_WALK_EXTRACT = os.environ.get("TELR_WALK_EXTRACT", "select")
+
 
 def _sbucket(s: int) -> int:
     for b in _S_LADDER:
@@ -710,16 +715,24 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     n = m_arr.shape[0]
     G = n // 8
     H, D, I = jnp.int32(0), jnp.int32(1), jnp.int32(2)
-    # int16 lanes + int8 select keep the per-step (n, W) compare/reduce at
-    # 1/4 the VPU traffic of the int32 formulation (W < 32768 always; the
-    # masked sum has exactly one non-zero int8 term, so an int8
-    # accumulator cannot overflow)
-    lane = jax.lax.broadcasted_iota(jnp.int16, (n, W), 1)
+    # Byte extraction strategy for the per-step "read the walk's one
+    # direction byte" — the walk's dominant VPU cost at wide bands:
+    #   select: masked (n, W) compare/sum (int16 lanes + int8 select keep
+    #           it at 1/4 the VPU traffic of the int32 form)
+    #   window: per 8-step block, gather a 16-lane window around each
+    #           pair's entry lane (drift is +-1/step and j-i moves <=1 per
+    #           active step, so |p_k - p_entry| <= 7 within a block); the
+    #           per-step compare/sum then runs at (n, 16), not (n, W)
+    VW = 16
+    use_window = _WALK_EXTRACT == "window" and W > VW
+    lane = jax.lax.broadcasted_iota(
+        jnp.int16, (n, VW if use_window else W), 1)
 
-    def step(state, s, slab_k, m_s):
-        """One sweep position; slab_k (n, W) and m_s (n,) are already
-        VMEM-resident (sliced from the block loads) — the per-step HBM
-        dependent-load chain was what made the walk latency-bound."""
+    def step(state, s, slab_k, m_s, base=None):
+        """One sweep position; slab_k (n, W) (or (n, VW) window with its
+        lane base) and m_s (n,) are already VMEM-resident (sliced from
+        the block loads) — the per-step HBM dependent-load chain was what
+        made the walk latency-bound."""
         i, j, st, stopped, bad = state
         active = (i + j == s) & (i > 0) & (j > 0) & ~stopped
         off = j - i - m_s
@@ -729,9 +742,16 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         bad = bad | (active & ((off & 1 != 0) | (p_raw < 0)
                                | (p_raw >= W)))
         p = jnp.clip(p_raw, 0, W - 1)
-        byte = jnp.sum(jnp.where(lane == p[:, None].astype(jnp.int16),
-                                 slab_k, jnp.int8(0)),
-                       axis=1, dtype=jnp.int8).astype(jnp.int32)
+        if base is not None:
+            p = p - base            # window-relative; in [0, VW) when active
+        if _WALK_EXTRACT == "gather" and base is None:
+            byte = jnp.take_along_axis(
+                slab_k, p[:, None].astype(jnp.int32), axis=1
+            )[:, 0].astype(jnp.int32)
+        else:
+            byte = jnp.sum(jnp.where(lane == p[:, None].astype(jnp.int16),
+                                     slab_k, jnp.int8(0)),
+                           axis=1, dtype=jnp.int8).astype(jnp.int32)
         ch = byte & 3
         dext = (byte & 4) != 0
         iext = (byte & 8) != 0
@@ -774,11 +794,28 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         slab8 = jax.lax.dynamic_slice(
             dirs, (0, blk, 0, 0), (G, 1, 64, W)).reshape(G, 8, 8, W)
         m8 = jax.lax.dynamic_slice(m_arr, (0, blk * 8 + 1), (n, 8))
+        base = None
+        if use_window:
+            # entry lane per pair from the block's FIRST processed step
+            # (k=7): i/j are unchanged while a pair is inactive, and
+            # |m8[:,k] - m8[:,7]| <= 7, so every later in-block lane sits
+            # in [p_entry-7, p_entry+7] — one 16-lane window covers the
+            # whole block.  ONE small gather per block replaces eight
+            # (n, W) masked reduces.
+            i, j = state[0], state[1]
+            pe = jnp.clip((j - i - m8[:, 7]) // 2, 0, W - 1)
+            base = jnp.clip(pe - 7, 0, W - VW)
+            slabs = slab8.transpose(1, 0, 2, 3).reshape(8, n, W)
+            idx = (base[None, :, None]
+                   + jnp.arange(VW, dtype=jnp.int32)[None, None, :])
+            win8 = jnp.take_along_axis(
+                slabs, jnp.broadcast_to(idx, (8, n, VW)), axis=2)
         ops8 = []
         for k in range(7, -1, -1):      # descending s within the block
             s = blk * 8 + k + 1
-            slab_k = slab8[:, k].reshape(n, W)
-            state, op = step(state, s, slab_k, m8[:, k])
+            slab_k = (win8[k] if use_window
+                      else slab8[:, k].reshape(n, W))
+            state, op = step(state, s, slab_k, m8[:, k], base)
             ops8.append(op)
         return state, jnp.stack(ops8)   # (8, n), descending s order
 

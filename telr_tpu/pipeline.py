@@ -166,7 +166,7 @@ def run_pipeline(
     from telr_tpu.utils.procpool import ensure_forkserver
     ensure_forkserver()   # before jax spins up threads (see procpool.py)
     config = config or default_config()
-    if config.use_wavefront:
+    if config.any_wavefront:
         # background-compile the library-homology kernel keys now so the
         # te_filter/repeatmask stages (minutes away, behind stage-1) hit
         # a warm cache; stage-1's own keys are prewarmed by the mapper
@@ -269,7 +269,7 @@ def run_pipeline(
             stage1_preset = dataclasses.replace(config.read_preset,
                                                 chain_prune_frac=0.5)
             aligner = Aligner(reference, stage1_preset,
-                              use_wavefront=config.use_wavefront,
+                              use_wavefront=config.wavefront_for("alignment"),
                               mesh=mesh)
             result = aligner.map_batch_parallel(
                 {s.name: s.codes for s in reads}, config.threads)
@@ -301,7 +301,7 @@ def run_pipeline(
         else:
             records = filter_te_candidates(
                 records, library, loci_eval,
-                use_wavefront=config.use_wavefront)
+                use_wavefront=config.wavefront_for("te_filter"))
             records = merge_nearby_records(records, config.sv.merge_window)
             ckpt.save_records("te_filter", records)
 
@@ -334,7 +334,7 @@ def run_pipeline(
             contigs, passed = assemble_all(
                 records, assembly_reads, config.read_preset,
                 config.assembly, loci_eval,
-                use_wavefront=config.use_wavefront,
+                use_wavefront=config.wavefront_for("assembly"),
                 extra_voters=extra_voters)
             ckpt.save_seqs("assembly", contigs,
                            {"passed": sorted(passed)})
@@ -347,16 +347,17 @@ def run_pipeline(
         contig_te, te_seqs = annotate_contigs(
             contigs, passed, library, records, config.read_preset,
             config.annotate, loci_eval,
-            use_wavefront=config.use_wavefront)
+            use_wavefront=config.wavefront_for("annotate"))
         if not config.minimap2_family:
             contig_te = reannotate_families(
                 contig_te, te_seqs, library,
-                use_wavefront=config.use_wavefront)
+                use_wavefront=config.wavefront_for("annotate"))
 
     with timed("allele_frequency"):
         te_freq = estimate_af(records, contigs, contig_te, reads, store,
                               config.read_preset, config.af, config.assembly,
-                              use_wavefront=config.use_wavefront, mesh=mesh)
+                              use_wavefront=config.wavefront_for("af"),
+                              mesh=mesh)
 
     with timed("ref_repeatmask"):
         # checkpointed: depends only on (reference, library), and the
@@ -367,7 +368,8 @@ def run_pipeline(
             ref_te_bed = ckpt.load_intervals("ref_repeatmask")
         else:
             ref_te_bed = repeatmask_reference(
-                reference, library, use_wavefront=config.use_wavefront)
+                reference, library,
+                use_wavefront=config.wavefront_for("repeatmask"))
             ckpt.save_intervals("ref_repeatmask", ref_te_bed)
         if len(ref_te_bed) == 0:
             ref_te_bed = None
@@ -376,7 +378,8 @@ def run_pipeline(
         lift_report, nonref_bed, summary = liftover(
             contigs, reference, contig_te, ref_te_bed, config.liftover,
             different_contig_name=config.different_contig_name,
-            telr_mode=True, use_wavefront=config.use_wavefront)
+            telr_mode=True,
+            use_wavefront=config.wavefront_for("liftover"))
         # component-retry entries (liftover/engine.py) carry sub-interval
         # coords the annotate stage never extracted; slice their TE
         # sequences now so the output stage can look them up

@@ -324,7 +324,7 @@ def simulate_dataset(size=5_000_000, coverage=30, n_ins=30, seed=0,
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
              workdir=None, read_len=9000, threads=1, chroms=1,
-             ont_profile=False):
+             ont_profile=False, wavefront_stages=None):
     from telr_tpu.utils.procpool import ensure_forkserver
     ensure_forkserver()   # before jax spins up threads (see procpool.py)
     from telr_tpu.config import TELRConfig, SVConfig
@@ -337,6 +337,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
         ont_profile=ont_profile)
     cfg = TELRConfig(sv=SVConfig(min_support=max(3, coverage // 8)),
                      use_wavefront=use_wavefront, threads=threads,
+                     wavefront_stages=wavefront_stages,
                      presets="ont" if ont_profile else "pacbio")
     t0 = time.time()
     res = run_pipeline(reads_fa, ref_fa, lib_fa,
@@ -360,7 +361,9 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      "n_truth": len(truth), "seed": seed,
                      "read_len_mean": read_len,
                      "ont_profile": ont_profile,
-                     "use_wavefront": use_wavefront},
+                     "use_wavefront": use_wavefront,
+                     "wavefront_stages": (list(wavefront_stages)
+                                          if wavefront_stages else None)},
         "score": score,
         "throughput": {
             "reads_per_s": round(n_reads / align_s, 2)
@@ -391,6 +394,9 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="GENOME_EVAL.json")
     ap.add_argument("--wavefront", action="store_true")
+    ap.add_argument("--wavefront-stages", default=None,
+                    help="comma list: route only these stages' DPs to "
+                         "the device (implies --wavefront for them)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--read-len", type=int, default=9000)
     ap.add_argument("--threads", type=int, default=1)
@@ -398,6 +404,9 @@ if __name__ == "__main__":
     ap.add_argument("--ont", action="store_true",
                     help="ONT-like error profile + MAP_ONT preset")
     a = ap.parse_args()
-    run_eval(a.size, a.coverage, a.n_ins, a.seed, a.wavefront, a.out,
+    stages = (tuple(x.strip() for x in a.wavefront_stages.split(","))
+              if a.wavefront_stages else None)
+    run_eval(a.size, a.coverage, a.n_ins, a.seed,
+             a.wavefront or bool(stages), a.out,
              a.workdir, read_len=a.read_len, threads=a.threads,
-             chroms=a.chroms, ont_profile=a.ont)
+             chroms=a.chroms, ont_profile=a.ont, wavefront_stages=stages)
