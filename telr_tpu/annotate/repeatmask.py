@@ -31,6 +31,8 @@ def repeatmask_reference(
     preset: Optional[AlignPreset] = None,
     max_copies: int = 4000,
     use_wavefront: bool = False,
+    shard=None,
+    allgather=None,
 ) -> Intervals:
     """Annotate all library-homologous intervals on the reference; the whole
     library is searched in one batched dispatch.
@@ -38,13 +40,35 @@ def repeatmask_reference(
     ``max_copies`` bounds the per-family copy count (high-copy families like
     INE-1 reach thousands of genomic copies); hitting the cap is logged so a
     truncated reference-TE annotation is never silent.
+
+    shard=(pid, P) with an ``allgather`` callable distributes the CHAIN
+    JOBS round-robin across P processes (family sharding cannot balance a
+    library where one high-copy family dominates — SCALING_r04 measured
+    the stage flat at 33-43 s from 1p to 4p): every process plans the
+    identical job list, aligns its ji % P share, all-gathers the per-job
+    alignments, and postprocesses the merged list — bit-identical to the
+    single-process result because postprocess sees the same ordered list.
     """
     if preset is None:
         preset = dataclasses.replace(LIB_TO_SEQ, max_secondary=max_copies)
     aligner = Aligner(reference, preset, max_occ=4096,
                       use_wavefront=use_wavefront)
-    results = aligner.map_batch({s.name: s.codes for s in library},
-                                max_hits=max_copies)
+    queries = {s.name: s.codes for s in library}
+    if shard is not None:
+        from telr_tpu.kernels.mapper import map_batch_grouped
+        pid, P = shard
+        mine = map_batch_grouped([(aligner, queries)],
+                                 max_hits=max_copies,
+                                 job_shard=(pid, P), raw=True)[0]
+        parts = allgather(mine)
+        merged: dict = {}
+        for ji in range(len(mine)):
+            qname, aln = parts[ji % P][ji]
+            merged.setdefault(qname, []).append(aln)
+        results = {q: aligner._postprocess(alns, max_copies)
+                   for q, alns in merged.items()}
+    else:
+        results = aligner.map_batch(queries, max_hits=max_copies)
     rows = []
     for s in library:
         hits = results.get(s.name, [])

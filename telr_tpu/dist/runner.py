@@ -314,29 +314,17 @@ def run_pipeline_multiprocess(
                               window_names=window_names)
 
     with timed("ref_repeatmask"):
-        # family-sharded reference repeatmask: each family's homology
-        # sweep is independent of the others, so process p masks the
-        # families with index % P == p against the (replicated)
-        # reference and the per-family row groups are re-assembled in
-        # LIBRARY ORDER — the stable bedtools sort then reproduces the
-        # single-process row order exactly.  Was a 33s serial stage on
-        # process 0 while every other process idled (SCALING_r04 2p).
-        fam_names = [s.name for s in library]
-        mine_lib = SeqDict([library[n]
-                            for i, n in enumerate(fam_names)
-                            if i % P == pid])
-        part = repeatmask_reference(
-            reference, mine_lib,
-            use_wavefront=config.wavefront_for("repeatmask"))
-        by_fam: Dict[str, list] = {}
-        for i in range(len(part)):
-            r = part.row(i)
-            by_fam.setdefault(r[3], []).append(r)
-        gathered_fams: Dict[str, list] = {}
-        for p_rows in _allgather_obj(by_fam):
-            gathered_fams.update(p_rows)
-        ref_rows = [r for n in fam_names
-                    for r in gathered_fams.get(n, [])]
+        # chain-job-sharded reference repeatmask: family sharding was
+        # flat 33-43 s from 1p to 4p (SCALING_r04*) because one
+        # high-copy family carries nearly all the chain jobs; sharding
+        # the jobs themselves round-robin balances regardless of the
+        # library's copy-count skew, and the merged postprocess is
+        # bit-identical to the serial run (annotate/repeatmask.py).
+        ref_te = repeatmask_reference(
+            reference, library,
+            use_wavefront=config.wavefront_for("repeatmask"),
+            shard=(pid, P), allgather=_allgather_obj)
+        ref_rows = [ref_te.row(i) for i in range(len(ref_te))]
 
     with timed("gather_results"):
         payload = {

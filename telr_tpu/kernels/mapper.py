@@ -670,7 +670,9 @@ def map_batch_grouped(
     groups: List[Tuple["Aligner", Dict[str, np.ndarray]]],
     max_hits: Optional[int] = None,
     plans: Optional[List[Dict[str, list]]] = None,
-) -> List[Dict[str, List[Alignment]]]:
+    job_shard: Optional[Tuple[int, int]] = None,
+    raw: bool = False,
+):
     """Map many (aligner, queries) groups with ONE pooled DP dispatch.
 
     This is the cross-locus batching the reference gets from its
@@ -680,6 +682,19 @@ def map_batch_grouped(
     issues a handful of padded wavefront kernel launches instead of one
     host dispatch per locus.  Returns one result dict per group, exactly
     what each group's `map_batch` would return.
+
+    job_shard=(pid, P): dispatch + assemble only the chain jobs whose
+    global job index is ≡ pid (mod P); the other slots stay None.  The
+    job list itself is built identically on every process (planning is
+    deterministic), so P processes each running a shard and merging
+    slot-wise reconstruct exactly the serial job results — the
+    distribution axis for the reference-repeatmask stage, whose 5-family
+    query set is too coarse to balance (SCALING_r04: flat 33s 1p->4p).
+
+    raw=True: skip per-query postprocessing and return, per group, the
+    list of (qname, Optional[Alignment]) in job order — the mergeable
+    form (postprocess is order-dependent, so it must run once, on the
+    merged full list).
 
     Region DPs start at a narrow anchor-guided band (width floor 128) and
     are retried at 4x width when the traceback path touches a constraining
@@ -701,9 +716,15 @@ def map_batch_grouped(
                     jobs.append([gi, qname, codes, chain, s_id, st,
                                  primary, geom, pieces])
 
+    if job_shard is not None:
+        pid, P = job_shard
+        own_ids = [ji for ji in range(len(jobs)) if ji % P == pid]
+    else:
+        own_ids = None
+
     piece_results = [dict() for _ in jobs]
     with hoststats.timer("map_dispatch"):
-        _dispatch_pieces(groups, jobs, piece_results)
+        _dispatch_pieces(groups, jobs, piece_results, job_ids=own_ids)
 
     # assemble + per-query postprocess per group (order preserved);
     # jobs whose region band proved too narrow get one retry round
@@ -738,7 +759,7 @@ def map_batch_grouped(
 
     retry_ids = []
     with hoststats.timer("map_assemble"):
-        for ji in range(len(jobs)):
+        for ji in (own_ids if own_ids is not None else range(len(jobs))):
             aln, wants_retry = _try_assemble(ji)
             alns_by_job[ji] = aln
             if wants_retry:
@@ -758,6 +779,13 @@ def map_batch_grouped(
             for ji in retry_ids:
                 aln, _ = _try_assemble(ji)
                 alns_by_job[ji] = aln
+
+    if raw:
+        raw_out: List[List[Tuple[str, Optional[Alignment]]]] = [
+            [] for _ in groups]
+        for ji, (gi, qname, *_rest) in enumerate(jobs):
+            raw_out[gi].append((qname, alns_by_job[ji]))
+        return raw_out
 
     for ji, (gi, qname, *_rest) in enumerate(jobs):
         per_group[gi][qname].append(alns_by_job[ji])

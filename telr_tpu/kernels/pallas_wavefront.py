@@ -50,9 +50,16 @@ N_ALT_RUNS_EDGE = 4  # ... per masked prologue/epilogue region (when the
 _S_LADDER = (128, 512, 1280, 2048, 8192, 32768)
 
 # Device-traceback byte-extract strategy ("select" | "gather" | "window");
-# see _device_traceback.  Trace-time switch: chosen per compile, parity-
-# locked by tests/test_wavefront_traceback.py across all three.
+# see _device_traceback.  Read at every traceback call and passed to the
+# jitted walk as a STATIC argument, so flipping it (env var or
+# monkeypatching this module attribute) re-traces — parity across all
+# three is locked by tests/test_wavefront_traceback.py::
+# test_walk_extract_strategies_parity.
 _WALK_EXTRACT = os.environ.get("TELR_WALK_EXTRACT", "select")
+
+
+def _walk_extract() -> str:
+    return _WALK_EXTRACT
 
 
 def _sbucket(s: int) -> int:
@@ -683,8 +690,10 @@ def run_wavefront_batch_tb(batch, width, mode, params: DPParams,
             dirs[:n])
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
-def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "S_max", "NB", "W", "extract"))
+def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W,
+                      extract="select"):
     """Walk all pairs' direction bytes ON DEVICE (anti-diagonal sweep).
 
     The dirs tensor ((G, NB, 64, W) int8) stays in device HBM — only the
@@ -724,7 +733,7 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     #           active step, so |p_k - p_entry| <= 7 within a block); the
     #           per-step compare/sum then runs at (n, 16), not (n, W)
     VW = 16
-    use_window = _WALK_EXTRACT == "window" and W > VW
+    use_window = extract == "window" and W > VW
     lane = jax.lax.broadcasted_iota(
         jnp.int16, (n, VW if use_window else W), 1)
 
@@ -744,7 +753,13 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
         p = jnp.clip(p_raw, 0, W - 1)
         if base is not None:
             p = p - base            # window-relative; in [0, VW) when active
-        if _WALK_EXTRACT == "gather" and base is None:
+            # invariant guard: drift is ±1/step today, so p stays inside
+            # the 16-lane window — but if a future schedule change breaks
+            # that, the masked sum below would silently read byte 0
+            # (ch=0 → M move) and fabricate a plausible-looking CIGAR;
+            # flag the pair instead (same policy as the band-escape check)
+            bad = bad | (active & ((p < 0) | (p >= VW)))
+        if extract == "gather" and base is None:
             byte = jnp.take_along_axis(
                 slab_k, p[:, None].astype(jnp.int32), axis=1
             )[:, 0].astype(jnp.int32)
@@ -828,9 +843,10 @@ def _device_traceback(dirs, m_arr, i0, j0, *, mode, S_max, NB, W):
     return ops, fi, fj, bad
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "S_max", "NB", "W"))
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "S_max", "NB", "W", "extract"))
 def _device_traceback_from_best(dirs, meta, scal, gout, bout, bs, bp, *,
-                                mode, S_max, NB, W):
+                                mode, S_max, NB, W, extract="select"):
     """Fused start-cell computation + traceback walk, all on device.
 
     Deriving (si, sj) from the kernel's (best_s, best_p) outputs here —
@@ -864,7 +880,8 @@ def _device_traceback_from_best(dirs, meta, scal, gout, bout, bs, bp, *,
         si = jnp.where(s_star == 0, 0, (s_star - o) // 2)
         sj = jnp.where(s_star == 0, 0, (s_star + o) // 2)
     ops, fi, fj, bad = _device_traceback(dirs, m_arr, si, sj, mode=mode,
-                                         S_max=S_max, NB=NB, W=W)
+                                         S_max=S_max, NB=NB, W=W,
+                                         extract=extract)
     packed = (ops[0::4] | (ops[1::4] << 2) | (ops[2::4] << 4)
               | (ops[3::4] << 6))
     small = jnp.stack([gout.reshape(-1), bout.reshape(-1),
@@ -1003,7 +1020,7 @@ def _fused_step(width: int, mode: int, params_tuple: tuple,
             interpret=False, tb=True)
         return _device_traceback_from_best(
             dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
-            S_max=S_pad, NB=S_pad // 8, W=width)
+            S_max=S_pad, NB=S_pad // 8, W=width, extract=_walk_extract())
     return fused
 
 
@@ -1236,7 +1253,8 @@ def wavefront_align(
                     interpret=True, tb=True)
                 return _device_traceback_from_best(
                     dirs, meta, scal, gout, bout, bs_d, bp_d, mode=mode,
-                    S_max=S_pad, NB=S_pad // 8, W=width)
+                    S_max=S_pad, NB=S_pad // 8, W=width,
+                    extract=_walk_extract())
             return _fused_step(width, mode, params.tuple(),
                                n_tiles)(meta, init, scal, gmeta)
         with hoststats.timer("wave_launch"):

@@ -50,6 +50,13 @@ def _absmin(a: int, b: int) -> int:
 
 
 def _check_nums_similar(a: float, b: float) -> bool:
+    # b == 0 guard: a zero-length TE annotation (possible via component
+    # retry parsing when cs == ce) must not crash the decision tree.  The
+    # reference (TELR_liftover.py:947-952) raises ZeroDivisionError here;
+    # parity does not require crashing — a zero-length TE is never
+    # "similar" to a nonzero gap.
+    if b == 0:
+        return a == 0
     return abs(a - b) / b <= 0.1
 
 

@@ -166,10 +166,15 @@ def run_pipeline(
     from telr_tpu.utils.procpool import ensure_forkserver
     ensure_forkserver()   # before jax spins up threads (see procpool.py)
     config = config or default_config()
-    if config.any_wavefront:
+    if config.wavefront_for("te_filter") or config.wavefront_for(
+            "repeatmask"):
         # background-compile the library-homology kernel keys now so the
         # te_filter/repeatmask stages (minutes away, behind stage-1) hit
-        # a warm cache; stage-1's own keys are prewarmed by the mapper
+        # a warm cache; stage-1's own keys are prewarmed by the mapper.
+        # Gated on the stages that actually consume these keys — under
+        # auto routing (device assembly only) they run on the host and
+        # the background compile would be wasted device/compile work
+        # (ADVICE r4)
         from telr_tpu.config import LIB_TO_SEQ
         from telr_tpu.kernels.dp import DPParams
         from telr_tpu.kernels.pallas_wavefront import ensure_prewarm_async

@@ -252,3 +252,15 @@ def test_full_liftover_dedup(ref, te):
     # TELR_liftover.py:1129); the port reproduces that, so the 800bp TE wins
     assert kept_nonref[0]["te_length"] == 800
     assert summary["non-reference"]["total"] == 1
+
+
+def test_check_nums_similar_zero_te_length():
+    """A zero-length TE annotation (possible via component retry parsing
+    when cs == ce) must not crash the decision tree with a
+    ZeroDivisionError (the reference has this bug, TELR_liftover.py:947;
+    parity does not require crashing)."""
+    from telr_tpu.liftover.engine import _check_nums_similar
+    assert _check_nums_similar(0, 0) is True
+    assert _check_nums_similar(5, 0) is False
+    assert _check_nums_similar(100, 100) is True
+    assert _check_nums_similar(89, 100) is False

@@ -56,3 +56,46 @@ def test_copy_cap_logs_and_raising_recovers(caplog):
         full = repeatmask_reference(genome, library, max_copies=100)
     assert len(full) == len(truth)
     assert not caplog.records, "no warning when under the cap"
+
+
+@pytest.mark.parametrize("P", [2, 3])
+def test_job_sharded_repeatmask_bit_identical(P):
+    """Chain-job sharding (the P-process distribution axis for this
+    stage) reproduces the serial result exactly: every process plans the
+    identical job list, aligns its ji % P share, and the merged
+    postprocess sees the same ordered list (dist/runner.py ref_repeatmask)."""
+    import dataclasses as _dc
+
+    from telr_tpu.config import LIB_TO_SEQ
+    from telr_tpu.kernels.mapper import Aligner, map_batch_grouped
+
+    genome, library, truth = _make_high_copy_genome(9)
+    # add a second, low-copy family so the job list spans families
+    rng = np.random.default_rng(3)
+    te2 = rng.integers(0, 4, 350, dtype=np.int8)
+    g2 = np.concatenate([genome["chrH"].codes,
+                         te2, rng.integers(0, 4, 200, dtype=np.int8)])
+    genome = SeqDict([Sequence("chrH", g2)])
+    library = SeqDict([library["HICOPY"], Sequence("LOWCOPY", te2)])
+
+    want = repeatmask_reference(genome, library)
+
+    preset = _dc.replace(LIB_TO_SEQ, max_secondary=4000)
+    al = Aligner(genome, preset, max_occ=4096)
+    queries = {s.name: s.codes for s in library}
+    parts = [map_batch_grouped([(al, queries)], max_hits=4000,
+                               job_shard=(p, P), raw=True)[0]
+             for p in range(P)]
+    # every shard's job list must be the same length and only own slots
+    # may be filled
+    assert len({len(pt) for pt in parts}) == 1
+    for p, pt in enumerate(parts):
+        for ji, (_q, aln) in enumerate(pt):
+            if ji % P != p:
+                assert aln is None
+
+    got = repeatmask_reference(genome, library, shard=(0, P),
+                               allgather=lambda mine: parts)
+    assert len(got) == len(want)
+    for i in range(len(want)):
+        assert got.row(i) == want.row(i)

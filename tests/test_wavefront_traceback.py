@@ -70,3 +70,21 @@ def test_traceback_big_insertion_guided():
     assert big_i, res["cigar"]
     got = _rescore(q, t, res["cigar"], 0, 0)
     assert got == res["score"]
+
+
+@pytest.mark.parametrize("extract", ["select", "gather", "window"])
+@pytest.mark.parametrize("mode", [dp.GLOBAL, dp.EXTEND])
+def test_walk_extract_strategies_parity(monkeypatch, extract, mode):
+    """All three device-walk byte-extract strategies produce identical
+    alignments (ADVICE r4: only 'select' was exercised before).  The
+    strategy is read per traceback call and passed to the jitted walk as
+    a static argument, so monkeypatching the module attribute re-traces
+    without any cache clearing."""
+    from telr_tpu.kernels import pallas_wavefront as pw
+    pairs = _pairs(n=6, seed=17)
+    monkeypatch.setattr(pw, "_WALK_EXTRACT", "select")
+    want = wavefront_align(pairs, 128, mode, PAR, interpret=True)
+    monkeypatch.setattr(pw, "_WALK_EXTRACT", extract)
+    got = wavefront_align(pairs, 128, mode, PAR, interpret=True)
+    for w, g in zip(want, got):
+        assert w == g

@@ -339,6 +339,9 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      use_wavefront=use_wavefront, threads=threads,
                      wavefront_stages=wavefront_stages,
                      presets="ont" if ont_profile else "pacbio")
+    cfg.validate()   # a typo'd --wavefront-stages must fail loudly, not
+    # silently route nothing to the device while the output JSON records
+    # use_wavefront=true (ADVICE r4: benchmark provenance)
     t0 = time.time()
     res = run_pipeline(reads_fa, ref_fa, lib_fa,
                        os.path.join(workdir, "out"), cfg,
