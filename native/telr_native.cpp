@@ -1161,3 +1161,143 @@ void telr_banded_dp_batch(const int8_t* q, const int8_t* t,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched wavefront op-code decode (see pallas_wavefront.py _decode_chunk):
+// unpack the device's 4-codes-per-byte packed op stream, strip the no-op
+// code 3, reverse into alignment order, run-length-encode, and prepend the
+// boundary lead I(fi)/D(fj) runs — all per pair, threaded over the batch.
+// The Python form of this loop (numpy mask/diff + list zips per pair) was
+// 42.5s of a 147s warm 3Mb/30x stage-1 wall; a linear byte scan is
+// memory-bound.  Two-pass API: count run totals, then fill concatenated
+// (ops, lens) arrays at caller-computed offsets — Python slices per-pair
+// views out of the concatenation with zero copies.
+//
+// packed_t layout: (n, s4) row-major (the TRANSPOSE of the device's
+// (s4, n) output — the caller pays one cheap contiguous copy so each
+// pair's byte stream is linear here; a column-strided walk fetched every
+// cache line 64x).  Code k of pair j = bits 2*(k&3) of
+// packed_t[j*s4 + (k>>2)], k ascending = walk order (alignment order is
+// k DESCENDING).  op codes: 0=M, 1=D, 2=I, 3=no-op.
+
+namespace {
+
+// walk pair j's packed column in descending k, emitting runs
+template <typename EMIT>
+static inline void wave_walk_pair(const uint8_t* packed_t, int64_t s4,
+                                  int64_t j, EMIT&& emit) {
+    const uint8_t* row = packed_t + j * s4;
+    int cur = -1;
+    int32_t run = 0;
+    for (int64_t r = s4 - 1; r >= 0; r--) {
+        uint8_t byte = row[r];
+        if (byte == 0xFF) continue;              // four no-ops
+        for (int k = 3; k >= 0; k--) {
+            int code = (byte >> (2 * k)) & 3;
+            if (code == 3) continue;
+            if (code == cur) { run++; continue; }
+            if (run) emit(cur, run);
+            cur = code; run = 1;
+        }
+    }
+    if (run) emit(cur, run);
+}
+
+struct WaveLead { int ops[2]; int32_t lens[2]; int n; };
+
+static inline WaveLead wave_lead(int32_t fi, int32_t fj, int32_t lead) {
+    WaveLead L; L.n = 0;
+    if (lead) {
+        if (fi > 0) { L.ops[L.n] = 2; L.lens[L.n] = fi; L.n++; }  // I
+        if (fj > 0) { L.ops[L.n] = 1; L.lens[L.n] = fj; L.n++; }  // D
+    }
+    return L;
+}
+
+static void wave_decode_range(const uint8_t* packed, int64_t s4, int64_t n,
+                              const int32_t* fi, const int32_t* fj,
+                              const int32_t* bad, int32_t lead,
+                              const int64_t* offsets, int32_t* nruns,
+                              uint8_t* ops_out, int32_t* lens_out,
+                              int64_t j0, int64_t j1) {
+    for (int64_t j = j0; j < j1; j++) {
+        if (bad[j]) { if (nruns) nruns[j] = 0; continue; }
+        WaveLead L = wave_lead(fi[j], fj[j], lead);
+        if (nruns) {                     // count pass
+            int32_t cnt = 0;
+            bool first = true; int first_op = -1;
+            wave_walk_pair(packed, s4, j, [&](int op, int32_t) {
+                if (first) { first_op = op; first = false; }
+                cnt++;
+            });
+            cnt += L.n;
+            if (L.n && !first && L.ops[L.n - 1] == first_op) cnt--;
+            nruns[j] = cnt;
+            continue;
+        }
+        // fill pass
+        int64_t at = offsets[j];
+        for (int k = 0; k < L.n; k++) {
+            ops_out[at] = (uint8_t)L.ops[k]; lens_out[at] = L.lens[k]; at++;
+        }
+        bool first = true;
+        wave_walk_pair(packed, s4, j, [&](int op, int32_t run) {
+            if (first && L.n && L.ops[L.n - 1] == op) {
+                lens_out[at - 1] += run;   // merge lead boundary
+            } else {
+                ops_out[at] = (uint8_t)op; lens_out[at] = run; at++;
+            }
+            first = false;
+        });
+    }
+}
+
+static void wave_decode_threaded(const uint8_t* packed, int64_t s4,
+                                 int64_t n, const int32_t* fi,
+                                 const int32_t* fj, const int32_t* bad,
+                                 int32_t lead, const int64_t* offsets,
+                                 int32_t* nruns, uint8_t* ops_out,
+                                 int32_t* lens_out) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthr = (int64_t)(hw ? hw : 1);
+    const char* env = getenv("TELR_DP_THREADS");
+    if (env && atoi(env) > 0 && atoi(env) < nthr) nthr = atoi(env);
+    if (nthr > n) nthr = n;
+    if (nthr <= 1) {
+        wave_decode_range(packed, s4, n, fi, fj, bad, lead, offsets,
+                          nruns, ops_out, lens_out, 0, n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t per = (n + nthr - 1) / nthr;
+    for (int64_t k = 0; k < nthr; k++) {
+        int64_t j0 = k * per, j1 = j0 + per < n ? j0 + per : n;
+        if (j0 >= j1) break;
+        pool.emplace_back(wave_decode_range, packed, s4, n, fi, fj, bad,
+                          lead, offsets, nruns, ops_out, lens_out, j0, j1);
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+void telr_wave_decode_count(const uint8_t* packed, int64_t s4, int64_t n,
+                            const int32_t* fi, const int32_t* fj,
+                            const int32_t* bad, int32_t lead,
+                            int32_t* nruns) {
+    wave_decode_threaded(packed, s4, n, fi, fj, bad, lead, nullptr,
+                         nruns, nullptr, nullptr);
+}
+
+void telr_wave_decode_fill(const uint8_t* packed, int64_t s4, int64_t n,
+                           const int32_t* fi, const int32_t* fj,
+                           const int32_t* bad, int32_t lead,
+                           const int64_t* offsets, uint8_t* ops_out,
+                           int32_t* lens_out) {
+    wave_decode_threaded(packed, s4, n, fi, fj, bad, lead, offsets,
+                         nullptr, ops_out, lens_out);
+}
+
+}  // extern "C"

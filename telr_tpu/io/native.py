@@ -141,8 +141,56 @@ def load() -> Optional[ctypes.CDLL]:
         lib.telr_count_matches.restype = i64
     except AttributeError:
         pass
+    try:
+        i32 = ctypes.c_int32
+        lib.telr_wave_decode_count.argtypes = (
+            [ctypes.c_void_p, i64, i64] + [ctypes.c_void_p] * 3
+            + [i32, ctypes.c_void_p])
+        lib.telr_wave_decode_count.restype = None
+        lib.telr_wave_decode_fill.argtypes = (
+            [ctypes.c_void_p, i64, i64] + [ctypes.c_void_p] * 3
+            + [i32] + [ctypes.c_void_p] * 3)
+        lib.telr_wave_decode_fill.restype = None
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
+
+
+def has_wave_decode() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "telr_wave_decode_count")
+
+
+def wave_decode_batch(packed: np.ndarray, fi: np.ndarray, fj: np.ndarray,
+                      bad: np.ndarray, lead: bool):
+    """Batched decode of the device wavefront's packed op codes into
+    per-pair array-form cigars (see native wave_walk_pair).
+
+    packed: (s4, n) uint8 as pulled from the device; fi/fj/bad: (n,)
+    int32 rows of the `small` stack.  Returns (offsets (n+1,) int64,
+    ops (total,) uint8, lens (total,) int32) — pair j's cigar is the
+    [offsets[j]:offsets[j+1]] slice of ops/lens."""
+    lib = load()
+    s4, n = packed.shape
+    pt = np.ascontiguousarray(packed.T)
+    fi = np.ascontiguousarray(fi, dtype=np.int32)
+    fj = np.ascontiguousarray(fj, dtype=np.int32)
+    bad = np.ascontiguousarray(bad, dtype=np.int32)
+    nruns = np.empty(n, dtype=np.int32)
+    lib.telr_wave_decode_count(pt.ctypes.data, s4, n, fi.ctypes.data,
+                               fj.ctypes.data, bad.ctypes.data,
+                               int(lead), nruns.ctypes.data)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nruns, out=offsets[1:])
+    total = int(offsets[-1])
+    ops = np.empty(total, dtype=np.uint8)
+    lens = np.empty(total, dtype=np.int32)
+    lib.telr_wave_decode_fill(pt.ctypes.data, s4, n, fi.ctypes.data,
+                              fj.ctypes.data, bad.ctypes.data, int(lead),
+                              offsets.ctypes.data, ops.ctypes.data,
+                              lens.ctypes.data)
+    return offsets, ops, lens
 
 
 def available() -> bool:

@@ -463,7 +463,7 @@ def _run_ext_round_wave(jobs, interpret=False):
     for ptuple, items in by_params.items():
         res = wavefront_align([(q, t) for _, q, t in items], 128,
                               dp.EXTEND, dp.DPParams(*ptuple),
-                              interpret=interpret)
+                              interpret=interpret, cigar_arrays=True)
         for (i, *_r), r in zip(items, res):
             out[i] = r
     return out
@@ -658,7 +658,7 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
             guides = [g for _, _, _, _, g, _ in items]
             res = wavefront_align(pairs, wave_w, mode,
                                   dp.DPParams(*ptuple), guides=guides,
-                                  interpret=interp)
+                                  interpret=interp, cigar_arrays=True)
             for (ji, tag, *_r), r in zip(items, res):
                 piece_results[ji][tag] = r
 

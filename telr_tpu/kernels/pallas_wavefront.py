@@ -1147,11 +1147,15 @@ def wavefront_align(
     guides: Optional[Sequence] = None,
     interpret: bool = False,
     device_tb: Optional[bool] = None,
+    cigar_arrays: bool = False,
 ):
     """Full alignment through the wavefront kernel: scores + CIGARs.
 
     Returns a list of dicts like dp.align_pair: score, cigar, qstart,
-    qend, tstart, tend.
+    qend, tstart, tend.  cigar_arrays=True returns "cigar" in the
+    (ops uint8, lens int32) array form (what dp.cigar_to_arrays accepts
+    verbatim) — the hot mapper path asks for this so the decode never
+    materializes per-run Python tuples.
 
     device_tb: walk the direction bytes on device (default on a non-CPU
     backend) — the dirs tensor never leaves HBM, only op codes transfer,
@@ -1269,6 +1273,44 @@ def wavefront_align(
     out = [None] * len(pairs)
     t_decode = time.perf_counter()
 
+    from telr_tpu.io import native as _native
+    nat_decode = _native.has_wave_decode()
+
+    def _decode_chunk_native(item):
+        """Batched C++ decode: unpack + no-op strip + reverse + RLE +
+        lead prepend, threaded over pairs with the GIL released — the
+        Python per-pair loop below was 42.5s of a 147s warm 3Mb/30x
+        stage-1 wall (hoststats r5)."""
+        sel, n, packed, small = item
+        g = small[0]
+        b = small[1]
+        bad = small[4]
+        si_a = small[5]
+        sj_a = small[6]
+        offsets, opsc, lensc = _native.wave_decode_batch(
+            packed, small[2], small[3], bad, mode != LOCAL)
+        fi = small[2]
+        fj = small[3]
+        for k in range(len(sel)):
+            if bad[k]:
+                out[sel[k]] = {"score": NEG_INF, "cigar": [], "qstart": 0,
+                               "tstart": 0, "qend": 0, "tend": 0,
+                               "failed": True}
+                continue
+            cig = (opsc[offsets[k]:offsets[k + 1]],
+                   lensc[offsets[k]:offsets[k + 1]])
+            if not cigar_arrays:
+                from telr_tpu.kernels.dp import arrays_to_cigar
+                cig = arrays_to_cigar(cig)
+            if mode != LOCAL:
+                ei = ej = 0
+            else:
+                ei, ej = int(fi[k]), int(fj[k])
+            out[sel[k]] = {
+                "score": int(g[k]) if mode == GLOBAL else int(b[k]),
+                "cigar": cig, "qstart": ei, "tstart": ej,
+                "qend": int(si_a[k]), "tend": int(sj_a[k])}
+
     def _decode_chunk(item):
         sel, n, packed, small = item
         ops = _unpack_ops(packed)                  # (n, S_max)
@@ -1302,15 +1344,18 @@ def wavefront_align(
                 ei = ej = 0
             else:
                 ei, ej = int(fi[k]), int(fj[k])
+            if cigar_arrays:
+                from telr_tpu.kernels.dp import cigar_to_arrays
+                cigar = cigar_to_arrays(cigar)
             out[sel[k]] = {"score": score, "cigar": cigar, "qstart": ei,
                            "tstart": ej, "qend": si, "tend": sj}
 
-    # serial on purpose: a 4-thread fan-out over chunks measured SLOWER
-    # (7.8s -> 9.2s on the 3Mb stage-1 bench) — the per-pair RLE is
-    # dominated by small GIL-holding ops, and the transposed unpack
-    # already took the big win (48s -> 8s)
+    # native decode releases the GIL and threads over pairs; the Python
+    # fallback stays serial on purpose (a 4-thread fan-out over chunks
+    # measured SLOWER, 7.8s -> 9.2s: per-pair RLE is small GIL-holding
+    # numpy ops)
     for item in collected:
-        _decode_chunk(item)
+        (_decode_chunk_native if nat_decode else _decode_chunk)(item)
     hoststats.add("wave_decode", time.perf_counter() - t_decode,
                   len(collected))
     return out

@@ -142,3 +142,52 @@ def test_native_traceback_parity():
                 assert ref == got, (trial, mode)
     finally:
         os.environ.pop("TELR_NATIVE_DP", None)
+
+
+def test_wave_decode_batch_matches_python_rle():
+    """Native batched wavefront decode (unpack + strip no-ops + reverse +
+    RLE + lead prepend) is byte-identical to the Python decode loop it
+    replaces (pallas_wavefront._rle + lead logic)."""
+    from telr_tpu.io import native
+    from telr_tpu.kernels.pallas_wavefront import _rle, _unpack_ops
+    if not native.has_wave_decode():
+        import pytest
+        pytest.skip("native wave decode unavailable")
+    rng = np.random.default_rng(5)
+    S, n = 256, 24
+    # op codes 0..3 with a bias toward runs and no-ops
+    ops = rng.choice([0, 0, 0, 1, 2, 3, 3, 3, 3], size=(S, n)).astype(np.uint8)
+    # long constant stretches to exercise run merging
+    ops[40:90, 3] = 0
+    ops[10:200, 7] = 3
+    packed = (ops[0::4] | (ops[1::4] << 2) | (ops[2::4] << 4)
+              | (ops[3::4] << 6)).astype(np.uint8)
+    fi = rng.integers(0, 5, n).astype(np.int32)
+    fj = rng.integers(0, 5, n).astype(np.int32)
+    bad = (rng.random(n) < 0.2).astype(np.int32)
+
+    for lead in (True, False):
+        offsets, opsc, lensc = native.wave_decode_batch(
+            packed, fi, fj, bad, lead)
+        up = _unpack_ops(packed)
+        sym = {"M": 0, "D": 1, "I": 2}
+        for k in range(n):
+            got = list(zip(opsc[offsets[k]:offsets[k + 1]].tolist(),
+                           lensc[offsets[k]:offsets[k + 1]].tolist()))
+            if bad[k]:
+                assert got == []
+                continue
+            cigar = _rle(up[k])
+            if lead:
+                lead_l = []
+                if fi[k] > 0:
+                    lead_l.append(("I", int(fi[k])))
+                if fj[k] > 0:
+                    lead_l.append(("D", int(fj[k])))
+                if lead_l:
+                    if cigar and lead_l[-1][0] == cigar[0][0]:
+                        cigar[0] = (cigar[0][0],
+                                    cigar[0][1] + lead_l.pop()[1])
+                    cigar = lead_l + cigar
+            want = [(sym[o], ln) for o, ln in cigar]
+            assert got == want, (k, lead)
