@@ -1301,3 +1301,121 @@ void telr_wave_decode_fill(const uint8_t* packed, int64_t s4, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched wavefront batch preparation (see pallas_wavefront.py
+// prepare_wavefront_batch): the parity walk + wire packing (meta bytes,
+// init windows, scal row, interior-range and canonical-phase block masks)
+// for one pair, as a single GIL-free call — the per-pair numpy loop was
+// 15.4s of the 41.6s warm 3Mb/30x stage-1 wall.  Threaded over pairs.
+
+namespace {
+
+static void wave_prepare_one(const int8_t* q, int64_t lq,
+                             const int8_t* t, int64_t lt,
+                             const int64_t* target_m, int64_t m0,
+                             int64_t W, int64_t S_pad,
+                             int8_t* meta_row, int8_t* qw_row,
+                             int8_t* tw_row, int32_t* scal8,
+                             int64_t* lohi, uint8_t* alt_row) {
+    const int64_t S = lq + lt;
+    const int8_t PAD = (int8_t)(1 | (4 << 1) | (4 << 4));
+    int64_t m_prev = m0;
+    int64_t i0 = (0 - m0) / 2;
+    int64_t j0 = (0 + m0) / 2;
+    const int64_t i0_start = i0, j0_start = j0;
+    int64_t lo = ((int64_t)1) << 40, hi = 0;
+    int8_t d_prev = 0;
+    const int64_t NB = S_pad / 8;
+    for (int64_t b = 0; b < NB; b++) alt_row[b] = 0;
+    int alt_acc = 1;   // all-true within current block so far
+    for (int64_t s = 1; s <= S; s++) {
+        int64_t m;
+        if (target_m[s] >= m_prev + 1) m = m_prev + 1;
+        else if (target_m[s] <= m_prev - 1) m = m_prev - 1;
+        else m = m_prev + ((target_m[s] - m_prev) >= 0 ? 1 : -1);
+        int8_t d = (int8_t)(m - m_prev);
+        int qi = 4, ti = 4;
+        if (d == -1) {
+            i0 += 1;
+            int64_t idx = i0 - 1;
+            if (idx >= 0 && idx < lq) qi = q[idx] & 7;
+        } else {
+            j0 += 1;
+            int64_t idx = j0 - 1 + (W - 1);
+            if (idx >= 0 && idx < lt) ti = t[idx] & 7;
+        }
+        meta_row[s - 1] = (int8_t)((d > 0 ? 1 : 0) | (qi << 1) | (ti << 4));
+        // interior-range test (band strictly inside the matrix after
+        // this step): i0 >= W, j0 >= 1, i0 <= lq, j0 + W - 1 <= lt - 1
+        if (i0 >= W && j0 >= 1 && i0 <= lq && j0 + W - 1 <= lt - 1) {
+            if (s < lo) lo = s;
+            if (s + 1 > hi) hi = s + 1;
+        }
+        // canonical-phase zigzag test: dbit(s) == s & 1, plus pairwise
+        // alternation vs the previous step (s >= 2)
+        int alt = ((d > 0) == ((s & 1) == 1));
+        if (s >= 2) alt &= (d != d_prev);
+        alt_acc &= alt;
+        if ((s & 7) == 0) { alt_row[(s >> 3) - 1] = (uint8_t)alt_acc; alt_acc = 1; }
+        d_prev = d;
+        m_prev = m;
+    }
+    // a partial trailing block contains pad steps -> stays false
+    for (int64_t s = S; s < S_pad; s++) meta_row[s] = PAD;
+    for (int64_t p = 0; p < W; p++) {
+        int64_t qidx = i0_start - 1 - p;
+        qw_row[p] = (qidx >= 0 && qidx < lq) ? q[qidx] : (int8_t)4;
+        int64_t tidx = j0_start - 1 + p;
+        tw_row[p] = (tidx >= 0 && tidx < lt) ? t[tidx] : (int8_t)4;
+    }
+    scal8[0] = (int32_t)lq;
+    scal8[1] = (int32_t)lt;
+    scal8[2] = (int32_t)i0_start;
+    scal8[3] = (int32_t)j0_start;
+    lohi[0] = lo;
+    lohi[1] = hi;
+}
+
+}  // namespace
+
+extern "C" void telr_wave_prepare_batch(
+    const int64_t* q_ptrs, const int64_t* q_lens,
+    const int64_t* t_ptrs, const int64_t* t_lens,
+    const int64_t* tm_ptrs, const int64_t* m0s,
+    int64_t n_pairs, int64_t W, int64_t S_pad,
+    int8_t* meta /* rows: idx*S_pad */,
+    int8_t* init /* (G,16,W): qw at (idx/8*16 + idx%8)*W, tw +8*W */,
+    int32_t* scal /* rows: idx*8 */,
+    int64_t* lohi /* rows: idx*2 */,
+    uint8_t* alt_blocks /* rows: idx*(S_pad/8) */) {
+    auto run_range = [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; i++) {
+            int64_t g = i / 8, r = i % 8;
+            wave_prepare_one(
+                (const int8_t*)q_ptrs[i], q_lens[i],
+                (const int8_t*)t_ptrs[i], t_lens[i],
+                (const int64_t*)tm_ptrs[i], m0s[i], W, S_pad,
+                meta + i * S_pad,
+                init + (g * 16 + r) * W,
+                init + (g * 16 + 8 + r) * W,
+                scal + i * 8,
+                lohi + i * 2,
+                alt_blocks + i * (S_pad / 8));
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthr = (int64_t)(hw ? hw : 1);
+    const char* env = getenv("TELR_DP_THREADS");
+    if (env && atoi(env) > 0 && atoi(env) < nthr) nthr = atoi(env);
+    if (nthr > n_pairs) nthr = n_pairs;
+    if (nthr <= 1) { run_range(0, n_pairs); return; }
+    std::vector<std::thread> pool;
+    int64_t per = (n_pairs + nthr - 1) / nthr;
+    for (int64_t k = 0; k < nthr; k++) {
+        int64_t a = k * per, b = a + per < n_pairs ? a + per : n_pairs;
+        if (a >= b) break;
+        pool.emplace_back(run_range, a, b);
+    }
+    for (auto& th : pool) th.join();
+}

@@ -95,11 +95,13 @@ def get_args(argv=None):
 
 
 # The stages whose DP batches are large enough to win on the device even
-# through a remote tunnel.  Stage-1's wall is single-thread host python
-# (prep/launch/decode — GENOME_EVAL r4 breakdown: device_wait 124s of
-# 926s) and annotate/repeatmask dispatch many tiny batches, so "auto"
-# keeps those on the native host engine.
-AUTO_WAVEFRONT_STAGES = ("assembly",)
+# through a remote tunnel.  annotate/repeatmask dispatch many tiny
+# batches, so "auto" keeps those on the native host engine.  Stage-1
+# (alignment) joined in r5: the host halves of the device path (RLE
+# decode, cigar assembly, schedule packing) moved into threaded GIL-free
+# native code, and the warm device stage-1 now beats the 4-core host on
+# the same workload (41.6s vs 54.1s, 3Mb/30x stage-1 bench).
+AUTO_WAVEFRONT_STAGES = ("alignment", "assembly")
 
 
 def _resolve_wavefront(choice: str, stages: str = None):

@@ -153,6 +153,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.telr_wave_decode_fill.restype = None
     except AttributeError:
         pass
+    try:
+        lib.telr_wave_prepare_batch.argtypes = (
+            [ctypes.c_void_p] * 6 + [i64] * 3 + [ctypes.c_void_p] * 5)
+        lib.telr_wave_prepare_batch.restype = None
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 

@@ -442,12 +442,38 @@ def _call_kernel(meta, init_codes, scal, gmeta, *, width, mode,
     return gout[:, :, 0], bout[:, :, 0]
 
 
+def _target_m_arr(q, t, width, gq, gt):
+    """The guide-following band-base target (build_schedule lines 89-105,
+    kept in numpy for exact np.rint parity) + the even m0."""
+    from telr_tpu.kernels.wavefront import _cluster_corrections
+    lq, lt = len(q), len(t)
+    S = lq + lt
+    if gq is None or len(gq) == 0:
+        gqa = np.array([0, lq], dtype=np.float64)
+        gta = np.array([0, lt], dtype=np.float64)
+    else:
+        gqa = np.concatenate([[0], np.asarray(gq, np.float64), [lq]])
+        gta = np.concatenate([[0], np.asarray(gt, np.float64), [lt]])
+        keep = np.concatenate([[True], np.diff(gqa) > 0])
+        gqa, gta = gqa[keep], np.maximum.accumulate(gta[keep])
+    o_guide = np.interp(np.arange(S + 1, dtype=np.float64),
+                        gqa + gta, gta - gqa)
+    tm = np.rint(o_guide).astype(np.int64) - width
+    if width >= 64:
+        tm = _cluster_corrections(tm, S, width)
+    m0 = int(tm[0])
+    if m0 % 2 != 0:
+        m0 += 1
+    return tm, m0
+
+
 def prepare_wavefront_batch(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     width: int,
     guides: Optional[Sequence] = None,
     min_groups: int = 1,
     min_steps: int = 0,
+    light: bool = False,
 ):
     """Host-side batch preparation (schedule building + packing); separate
     from the kernel call so steady-state runs amortise it.
@@ -456,7 +482,14 @@ def prepare_wavefront_batch(
     (S-bucket, width) so every chunk of a genome-scale run shares ONE
     compile key (padded groups have zero-step loop bounds and cost no
     device time; through the remote compile tunnel every distinct grid is
-    a ~4-minute compile)."""
+    a ~4-minute compile).
+
+    light=True (device-traceback callers only): skip building WaveSchedule
+    objects — start cells derive on device, so only the wire arrays are
+    needed — and run the parity walk + packing as ONE threaded native
+    call (telr_wave_prepare_batch) instead of ~30 numpy ops per pair
+    (15.4s of the 41.6s warm 3Mb/30x stage-1 wall).  Returns None in the
+    scheds slot."""
     n = len(pairs)
     G = -(-n // 8)
     # bucket the group count to powers of two so repeated batches reuse
@@ -465,6 +498,13 @@ def prepare_wavefront_batch(
     while Gb < G:
         Gb *= 2
     G = max(Gb, min_groups)
+
+    if light:
+        from telr_tpu.io import native as _native
+        nat = _native.load()
+        if nat is not None and hasattr(nat, "telr_wave_prepare_batch"):
+            return _prepare_batch_native(nat, pairs, width, guides, G,
+                                         min_steps)
 
     def _build_one(idx: int) -> Optional[WaveSchedule]:
         if idx >= n:
@@ -477,7 +517,8 @@ def prepare_wavefront_batch(
     # NOTE: a 4-thread fan-out of _build_one was tried and REGRESSED prep
     # 14.2s -> 27.8s on the 3Mb stage-1 bench — build_schedule's many
     # small numpy ops spend more time bouncing the GIL than computing.
-    # Keep it serial; the win here is fewer/smaller chunks, not threads.
+    # Keep it serial; the win here is fewer/smaller chunks, not threads
+    # (the native batch above holds no GIL and DOES thread).
     scheds = [_build_one(i) for i in range(G * 8)]
     S_max = max((s.n_steps for s in scheds if s is not None), default=0)
     S_pad = max(_sbucket(S_max), min_steps)
@@ -574,12 +615,20 @@ def prepare_wavefront_batch(
             alt_steps[1: sched.n_steps] &= dr[1:] != dr[:-1]
         alt_blocks[idx] = alt_steps.reshape(-1, 8).all(axis=1)
 
+    n_steps_arr = np.array([s.n_steps if s is not None else 0
+                            for s in scheds], dtype=np.int64)
+    _fill_gmeta(gmeta, G, n_steps_arr, lo_s, hi_s, alt_blocks)
+    return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
+
+
+def _fill_gmeta(gmeta, G, n_steps_arr, lo_s, hi_s, alt_blocks):
+    """Per-group dynamic loop bounds + canonical-phase run slots (see
+    prepare_wavefront_batch); n_steps_arr == 0 marks a dummy pair."""
     for g in range(G):
-        real = [i for i in range(g * 8, g * 8 + 8)
-                if scheds[i] is not None]
+        real = [i for i in range(g * 8, g * 8 + 8) if n_steps_arr[i] > 0]
         if not real:
             continue
-        s_max = max(scheds[i].n_steps for i in real)
+        s_max = max(int(n_steps_arr[i]) for i in real)
         nb_end = -(-s_max // 8)
         glo = max(int(lo_s[i]) for i in real)
         ghi = min(int(hi_s[i]) for i in real)
@@ -598,16 +647,9 @@ def prepare_wavefront_batch(
         # runs each, in position order, padded with empty (end, end)
         # slots so the kernel's interleaved loops see monotone bounds.
         ok = alt_blocks[g * 8: g * 8 + 8, :nb_end].all(axis=0)
-        all_runs = []
-        start = None
-        for bi, flag in enumerate(ok):
-            if flag and start is None:
-                start = bi
-            elif not flag and start is not None:
-                all_runs.append((start, bi))
-                start = None
-        if start is not None:
-            all_runs.append((start, nb_end))
+        d = np.diff(np.concatenate([[0], ok.astype(np.int8), [0]]))
+        all_runs = list(zip(np.nonzero(d == 1)[0].tolist(),
+                            np.nonzero(d == -1)[0].tolist()))
         slot = 4
         for r_lo, r_hi, cap in ((0, ib0, N_ALT_RUNS_EDGE),
                                 (ib0, ib1, N_ALT_RUNS),
@@ -624,7 +666,58 @@ def prepare_wavefront_batch(
                 gmeta[g, slot + 1] = hi
                 slot += 2
 
-    return meta, init, scal, S_pad // STEP_TILE, n, scheds, gmeta
+
+def _prepare_batch_native(nat, pairs, width, guides, G, min_steps):
+    """prepare_wavefront_batch fast path: numpy target-m per pair, then
+    ONE threaded native call does the parity walk + all wire packing
+    (native/telr_native.cpp telr_wave_prepare_batch)."""
+    import ctypes
+    n = len(pairs)
+    S_max = max((len(q) + len(t) for q, t in pairs), default=0)
+    S_pad = max(_sbucket(S_max), min_steps)
+    PAD = np.int8(1 | (4 << 1) | (4 << 4))
+    meta = np.full((G, 8, S_pad), PAD, dtype=np.int8)
+    init = np.full((G, 16, width), 4, dtype=np.int8)
+    scal = np.zeros((G, 8, 8), dtype=np.int32)
+    gmeta = np.zeros((G, 4 + 2 * (N_ALT_RUNS + 2 * N_ALT_RUNS_EDGE)),
+                     dtype=np.int32)
+    lohi = np.zeros((G * 8, 2), dtype=np.int64)
+    lohi[:, 0] = 1 << 40
+    alt_blocks = np.ones((G * 8, S_pad // 8), dtype=np.uint8)
+    if n:
+        q_ptrs = np.empty(n, np.int64)
+        q_lens = np.empty(n, np.int64)
+        t_ptrs = np.empty(n, np.int64)
+        t_lens = np.empty(n, np.int64)
+        tm_ptrs = np.empty(n, np.int64)
+        m0s = np.empty(n, np.int64)
+        keep = []          # keep contiguous copies + tm arrays alive
+        for i, (q, t) in enumerate(pairs):
+            gq, gt = (guides[i] if guides is not None and
+                      guides[i] is not None else (None, None))
+            tm, m0 = _target_m_arr(q, t, width, gq, gt)
+            if not q.flags.c_contiguous:
+                q = np.ascontiguousarray(q)
+            if not t.flags.c_contiguous:
+                t = np.ascontiguousarray(t)
+            keep.append((q, t, tm))
+            q_ptrs[i] = q.ctypes.data
+            q_lens[i] = len(q)
+            t_ptrs[i] = t.ctypes.data
+            t_lens[i] = len(t)
+            tm_ptrs[i] = tm.ctypes.data
+            m0s[i] = m0
+        nat.telr_wave_prepare_batch(
+            q_ptrs.ctypes.data, q_lens.ctypes.data, t_ptrs.ctypes.data,
+            t_lens.ctypes.data, tm_ptrs.ctypes.data, m0s.ctypes.data,
+            ctypes.c_int64(n), ctypes.c_int64(width),
+            ctypes.c_int64(S_pad), meta.ctypes.data, init.ctypes.data,
+            scal.ctypes.data, lohi.ctypes.data, alt_blocks.ctypes.data)
+    n_steps_arr = np.zeros(G * 8, dtype=np.int64)
+    n_steps_arr[:n] = np.array(
+        [len(q) + len(t) for q, t in pairs], dtype=np.int64)
+    _fill_gmeta(gmeta, G, n_steps_arr, lohi[:, 0], lohi[:, 1], alt_blocks)
+    return meta, init, scal, S_pad // STEP_TILE, n, None, gmeta
 
 
 def run_wavefront_batch_device(batch, width, mode, params: DPParams,
@@ -976,11 +1069,21 @@ _SRC_TAG: Optional[str] = None
 
 
 def _aot_tag() -> str:
+    """Hash of the TRACE-DETERMINING code only (kernel body, wire
+    reconstruction, device walk, fusion) — not the whole file: host-side
+    edits (decode, chunking, prep) kept invalidating every artifact and
+    re-paying the ~250s cold lowering tax for changes that cannot affect
+    the compiled computation."""
     global _SRC_TAG
     if _SRC_TAG is None:
         import hashlib
-        with open(__file__, "rb") as f:
-            _SRC_TAG = hashlib.md5(f.read()).hexdigest()[:10]
+        import inspect
+        parts = [repr((STEP_TILE, N_ALT_RUNS, N_ALT_RUNS_EDGE))]
+        for fn in (_kernel, _call_kernel, _device_traceback,
+                   _device_traceback_from_best, _fused_step):
+            parts.append(inspect.getsource(fn))
+        _SRC_TAG = hashlib.md5(
+            "\n".join(parts).encode()).hexdigest()[:10]
     return _SRC_TAG
 
 
@@ -1237,7 +1340,7 @@ def wavefront_align(
         with hoststats.timer("wave_prep"):
             meta, init, scal, n_tiles, n, scheds, gmeta = \
                 prepare_wavefront_batch(cp, width, cg, min_groups=g_fixed,
-                                        min_steps=sp)
+                                        min_steps=sp, light=True)
             # ship the compact wire arrays ONCE; the kernel call and the
             # traceback walk share the same device buffers
             meta = _jax.device_put(meta)

@@ -191,3 +191,41 @@ def test_wave_decode_batch_matches_python_rle():
                     cigar = lead_l + cigar
             want = [(sym[o], ln) for o, ln in cigar]
             assert got == want, (k, lead)
+
+
+def test_wave_prepare_batch_native_parity():
+    """The native threaded prepare (light=True) emits bit-identical wire
+    arrays (meta/init/scal/gmeta) to the numpy per-pair packing loop."""
+    from telr_tpu.io import native
+    from telr_tpu.kernels.pallas_wavefront import prepare_wavefront_batch
+    lib = native.load()
+    if lib is None or not hasattr(lib, "telr_wave_prepare_batch"):
+        import pytest
+        pytest.skip("native wave prepare unavailable")
+    rng = np.random.default_rng(11)
+    pairs, guides = [], []
+    for i in range(11):        # non-multiple of 8: dummy-pair padding
+        lq = int(rng.integers(60, 900))
+        lt = lq + int(rng.integers(-40, 220))
+        lt = max(40, lt)
+        t = rng.integers(0, 4, lt).astype(np.int8)
+        q = t[:lq].copy() if lq <= lt else np.concatenate(
+            [t, rng.integers(0, 4, lq - lt).astype(np.int8)])
+        idx = rng.integers(0, lq, max(2, lq // 30))
+        q[idx] = rng.integers(0, 4, len(idx))
+        pairs.append((q, t))
+        if i % 3 == 0:
+            aq = np.arange(10, min(lq, lt) - 10, 97, dtype=np.int64)
+            guides.append((aq, aq))
+        else:
+            guides.append(None)
+    for width in (128, 512):
+        full = prepare_wavefront_batch(pairs, width, guides,
+                                       min_groups=2, min_steps=512)
+        lite = prepare_wavefront_batch(pairs, width, guides,
+                                       min_groups=2, min_steps=512,
+                                       light=True)
+        for k, name in ((0, "meta"), (1, "init"), (2, "scal"),
+                        (6, "gmeta")):
+            assert np.array_equal(full[k], lite[k]), (name, width)
+        assert full[3] == lite[3] and full[4] == lite[4]
