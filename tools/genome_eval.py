@@ -30,15 +30,53 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_te_library(rng) -> dict:
-    """TE consensus families, dmel-like lengths."""
-    return {
+def make_te_library(rng, hard=False) -> dict:
+    """TE consensus families, dmel-like lengths.
+
+    hard=True (VERDICT r4 #6 "eval realism"): the library gains real
+    TE-like discrimination structure —
+      * 2-3 diverged subfamilies per family at ~85-95% identity
+        (named `fam__k`; `fam__0` is the ancestor), the regime where
+        RepeatMasker has to discriminate close relatives
+        (reference TELR_te.py:267-370);
+      * a shared, diverged ~400bp block between copia and roo
+        (LTR-family-style inter-family homology);
+    the matching hard genome (make_genome(hard=True)) adds 5'-truncated
+    LINE copies and satellite arrays."""
+    base = {
         "jockey": rng.integers(0, 4, 5000).astype(np.int8),
         "copia": rng.integers(0, 4, 5100).astype(np.int8),
         "roo": rng.integers(0, 4, 9000).astype(np.int8),
         "P-element": rng.integers(0, 4, 2900).astype(np.int8),
         "INE-1": rng.integers(0, 4, 600).astype(np.int8),
     }
+    if not hard:
+        return base
+    shared = rng.integers(0, 4, 400).astype(np.int8)
+    base["copia"][100:500] = shared
+    base["roo"][200:600] = _point_sub(shared, 0.20, rng)
+    lib = {}
+    for fam, cons in base.items():
+        k = 3 if len(cons) >= 3000 else 2
+        for si in range(k):
+            sub = cons if si == 0 else _diverge(cons, 0.05 * si, rng)
+            lib[f"{fam}__{si}"] = sub
+    return lib
+
+
+def base_family(name: str) -> str:
+    """`fam__k` subfamily -> base family (hard library); identity
+    otherwise."""
+    return str(name).split("__")[0]
+
+
+def _point_sub(codes, rate, rng):
+    """Substitution-only divergence (length-preserving)."""
+    out = codes.copy()
+    m = rng.random(len(out)) < rate
+    idx = np.nonzero(m)[0]
+    out[idx] = (out[idx] + 1 + rng.integers(0, 3, idx.size)) % 4
+    return out
 
 
 def _mutate(codes, rate, rng, p_sub, p_ins, ins_extra, del_extra):
@@ -84,9 +122,15 @@ def _diverge(codes, rate, rng):
                    ins_extra=2, del_extra=2)
 
 
-def make_genome(size, library, rng, repeat_density=0.15):
+def make_genome(size, library, rng, repeat_density=0.15, hard=False):
     """Random background + planted (diverged, often truncated) ref TE
-    copies up to ~repeat_density of the sequence + tandem patches."""
+    copies up to ~repeat_density of the sequence + tandem patches.
+
+    hard=True: LINE-family (jockey) genomic copies are predominantly
+    5'-TRUNCATED (the incomplete-reverse-transcription signature — only
+    the 3' end survives), and a few hundred-copy satellite arrays are
+    planted (the centromeric background RepeatMasker's -nolow would
+    normally suppress)."""
     genome = rng.integers(0, 4, size).astype(np.int8)
     placed = 0
     target = int(size * repeat_density)
@@ -96,7 +140,13 @@ def make_genome(size, library, rng, repeat_density=0.15):
         te = library[fam]
         div = float(rng.uniform(0.02, 0.25))
         copy = _diverge(te, div, rng)
-        if rng.random() < 0.5:  # truncated copy
+        if hard and base_family(fam) == "jockey":
+            # LINE 5'-truncation: keep the 3' end, cut 20-90% of the 5'
+            if rng.random() < 0.8:
+                cut = int(rng.integers(len(copy) // 10,
+                                       (len(copy) * 4) // 5))
+                copy = copy[cut:]
+        elif rng.random() < 0.5:  # truncated copy
             cut = int(rng.integers(len(copy) // 4, len(copy)))
             copy = copy[-cut:] if rng.random() < 0.5 else copy[:cut]
         if rng.random() < 0.5:  # minus strand
@@ -111,6 +161,17 @@ def make_genome(size, library, rng, repeat_density=0.15):
         patch = np.tile(unit, n)
         pos = int(rng.integers(0, size - len(patch)))
         genome[pos:pos + len(patch)] = patch
+    if hard:
+        # satellite arrays: a 359bp unit (dmel 1.688-family-like) tiled
+        # 40-150x with per-copy substitution jitter
+        unit = rng.integers(0, 4, 359).astype(np.int8)
+        for _ in range(max(1, size // 3_000_000)):
+            n = int(rng.integers(40, 150))
+            arr = np.concatenate(
+                [_point_sub(unit, 0.03, rng) for _ in range(n)])
+            if len(arr) < size - 1000:
+                pos = int(rng.integers(0, size - len(arr)))
+                genome[pos:pos + len(arr)] = arr
     return genome
 
 
@@ -219,9 +280,13 @@ def score_calls(final_report, truth, window=100):
             # a call's [start, end] spans its breakpoint uncertainty (wide
             # flank gaps report the whole gap, TELR get_coord) — match the
             # truth against the interval, padded by the window
+            call_fams = str(call["family"]).split("|")
+            fam_ok = (t["family"] in call_fams
+                      or base_family(t["family"]) in
+                      {base_family(f) for f in call_fams})
             if (call["start"] - window <= t["pos"] <= call["end"] + window
                     and t.get("chrom", call["chrom"]) == call["chrom"]
-                    and t["family"] in str(call["family"]).split("|")):
+                    and fam_ok):
                 hit = ti
                 break
         if hit is None:
@@ -241,6 +306,10 @@ def score_calls(final_report, truth, window=100):
                             if call.get("tsd_length") is not None else None),
                 "zyg_ok": (gt == "1/1") == (t["zygosity"] == "hom"),
                 "strand_ok": call.get("strand") == t["strand"],
+                # subfamily-exact assignment (hard library: fam__k names;
+                # trivially exact when the library has no subfamilies)
+                "fam_exact": t["family"] in
+                             str(call["family"]).split("|"),
             })
     fn = len(truth) - tp
     fp = len(fp_calls)
@@ -266,6 +335,8 @@ def score_calls(final_report, truth, window=100):
                                       for q in quality) / len(quality), 4),
             "strand_acc": round(sum(q["strand_ok"]
                                     for q in quality) / len(quality), 4),
+            "family_exact": round(sum(q["fam_exact"]
+                                      for q in quality) / len(quality), 4),
         }
     return {"tp": tp, "fp": fp, "fn": fn, "precision": round(prec, 4),
             "recall": round(rec, 4), "f1": round(f1, 4),
@@ -275,7 +346,7 @@ def score_calls(final_report, truth, window=100):
 
 def simulate_dataset(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      workdir=None, read_len=9000, chroms=1,
-                     ont_profile=False):
+                     ont_profile=False, hard=False):
     """Simulate (reference, reads, library) fastas + truth; returns
     (ref_fa, reads_fa, lib_fa, truth, n_reads, n_bases).  Shared by the
     single-process eval below and the multi-process scaling harness
@@ -285,13 +356,13 @@ def simulate_dataset(size=5_000_000, coverage=30, n_ins=30, seed=0,
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
-    library = make_te_library(rng)
+    library = make_te_library(rng, hard=hard)
     # multi-chromosome genomes exercise per-chrom flank filtering,
     # cross-chrom homology and dedup at scale (real dmel runs are 5+)
     ref_seqs, truth, reads = [], [], []
     for ci in range(chroms):
         cname = f"chr{ci + 1}" if chroms > 1 else "chr2L"
-        genome = make_genome(size // chroms, library, rng)
+        genome = make_genome(size // chroms, library, rng, hard=hard)
         ctruth = plant_insertions(genome, library,
                                   max(1, n_ins // chroms), rng)
         creads = simulate_reads(genome, ctruth, coverage, rng,
@@ -324,7 +395,7 @@ def simulate_dataset(size=5_000_000, coverage=30, n_ins=30, seed=0,
 def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
              use_wavefront=False, out_path="GENOME_EVAL.json",
              workdir=None, read_len=9000, threads=1, chroms=1,
-             ont_profile=False, wavefront_stages=None):
+             ont_profile=False, wavefront_stages=None, hard=False):
     from telr_tpu.utils.procpool import ensure_forkserver
     ensure_forkserver()   # before jax spins up threads (see procpool.py)
     from telr_tpu.config import TELRConfig, SVConfig
@@ -334,7 +405,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
     workdir = workdir or tempfile.mkdtemp(prefix="telr_eval")
     ref_fa, reads_fa, lib_fa, truth, n_reads, n_bases = simulate_dataset(
         size, coverage, n_ins, seed, workdir, read_len, chroms,
-        ont_profile=ont_profile)
+        ont_profile=ont_profile, hard=hard)
     cfg = TELRConfig(sv=SVConfig(min_support=max(3, coverage // 8)),
                      use_wavefront=use_wavefront, threads=threads,
                      wavefront_stages=wavefront_stages,
@@ -364,6 +435,7 @@ def run_eval(size=5_000_000, coverage=30, n_ins=30, seed=0,
                      "n_truth": len(truth), "seed": seed,
                      "read_len_mean": read_len,
                      "ont_profile": ont_profile,
+                     "hard_library": hard,
                      "use_wavefront": use_wavefront,
                      "wavefront_stages": (list(wavefront_stages)
                                           if wavefront_stages else None)},
@@ -406,10 +478,15 @@ if __name__ == "__main__":
     ap.add_argument("--chroms", type=int, default=1)
     ap.add_argument("--ont", action="store_true",
                     help="ONT-like error profile + MAP_ONT preset")
+    ap.add_argument("--hard-library", action="store_true",
+                    help="harder TE library: diverged subfamilies, "
+                         "inter-family homology, 5'-truncated LINE "
+                         "copies, satellite arrays (VERDICT r4 #6)")
     a = ap.parse_args()
     stages = (tuple(x.strip() for x in a.wavefront_stages.split(","))
               if a.wavefront_stages else None)
     run_eval(a.size, a.coverage, a.n_ins, a.seed,
              a.wavefront or bool(stages), a.out,
              a.workdir, read_len=a.read_len, threads=a.threads,
-             chroms=a.chroms, ont_profile=a.ont, wavefront_stages=stages)
+             chroms=a.chroms, ont_profile=a.ont, wavefront_stages=stages,
+             hard=a.hard_library)
