@@ -597,22 +597,21 @@ def _dispatch_pieces(groups, jobs, piece_results, job_ids=None):
             and not any(k[3] for k in wave_buckets) \
             and _native.has_banded_dp():
         from telr_tpu.kernels.pallas_wavefront import (_sbucket,
-                                                       warm_keys)
-        warm = warm_keys()
+                                                       key_is_warm)
         est = cold = 0
         for k, items in wave_buckets.items():
             for (_ji, _tag, q, t, _g, _w) in items:
                 c = (len(q) + len(t)) * k[2]
                 est += c
-                if (k[0], k[1], k[2],
-                        _sbucket(len(q) + len(t))) not in warm:
+                if not key_is_warm(k[0], k[1], k[2],
+                                   _sbucket(len(q) + len(t))):
                     cold += c
         for (q, t, p) in wave_ext_items:
             c = len(q) * (_EXT_CHUNK + _EXT_SLACK)
             est += c
             sb = _sbucket(min(len(q), _EXT_CHUNK)
                           + min(len(t), _EXT_CHUNK + _EXT_SLACK))
-            if (p.tuple(), dp.EXTEND, 128, sb) not in warm:
+            if not key_is_warm(p.tuple(), dp.EXTEND, 128, sb):
                 cold += c
         # a cold key costs ~10-15s (Mosaic lowering + remote compile
         # round-trip), so medium-sized dispatches only go to the device

@@ -1178,6 +1178,29 @@ def warm_keys() -> set:
     return _WARM
 
 
+def key_is_warm(params_tuple: tuple, mode: int, width: int,
+                sbucket: int) -> bool:
+    """True when dispatching this key will NOT pay the in-process
+    tracing + Mosaic lowering tax: either it already compiled in this
+    process, or an on-disk AOT artifact exists (loading one is a ~5s
+    C++ deserialize + persistent-cache compile, not the ~15-25s cold
+    lowering the hybrid dispatch gate is protecting against).  Without
+    the artifact check the gate was history-dependent: a fresh process
+    with a fully warm on-disk cache still routed its first genome-scale
+    dispatch to the host."""
+    if (params_tuple, mode, width, sbucket) in _WARM:
+        return True
+    return _aot_exists(mode, width, sbucket, params_tuple)
+
+
+@functools.lru_cache(maxsize=4096)
+def _aot_exists(mode: int, width: int, sbucket: int,
+                params_tuple: tuple) -> bool:
+    g = _g_fixed(sbucket, width)
+    return os.path.exists(_aot_path(mode, width, sbucket, g,
+                                    params_tuple))
+
+
 def ensure_prewarm_async(params, keys=None, threads: int = 3) -> None:
     """Start background compilation of the standard stage-1 kernel keys.
 
@@ -1214,6 +1237,43 @@ def ensure_prewarm_async(params, keys=None, threads: int = 3) -> None:
         if sub:
             threading.Thread(target=_runner, args=(sub,),
                              daemon=True).start()
+
+
+def _warm_keys_blocking(keys, width, mode, params, threads: int = 8):
+    """Compile/load the given (mode, width, sp, g_fixed) kernel keys in
+    parallel and block until all are ready.
+
+    Each key warms by running the REAL fused step once on a one-pair
+    dummy batch padded to the key's (g_fixed, sp) grid — padded groups
+    have zero-step loop bounds, so the device work is negligible; the
+    cost is the AOT artifact deserialize + persistent-cache compile
+    (GIL-free C++), or trace+lowering when no artifact exists.  Threads
+    give max-of-loads instead of the dispatch loop's sum-of-loads."""
+    from concurrent.futures import ThreadPoolExecutor
+    rng = np.random.default_rng(0)
+
+    def _one(key):
+        kmode, kwidth, sp, g_fixed = key
+        try:
+            lq = max(32, min(256, sp // 2 - 8))
+            t = rng.integers(0, 4, lq + 16).astype(np.int8)
+            q = t[:lq].copy()
+            batch = prepare_wavefront_batch([(q, t)], kwidth, None,
+                                            min_groups=g_fixed,
+                                            min_steps=sp, light=True)
+            meta, init, scal, n_tiles, _n, _s, gmeta = batch
+            exp = _aot_load(kmode, kwidth, sp, g_fixed, params.tuple())
+            if exp is not None:
+                out = exp.call(meta, init, scal, gmeta)
+            else:
+                out = _fused_step(kwidth, kmode, params.tuple(),
+                                  n_tiles)(meta, init, scal, gmeta)
+            jax.block_until_ready(out)
+            _WARM.add((params.tuple(), kmode, kwidth, sp))
+        except Exception:      # advisory: a failed warm only means the
+            pass               # real dispatch pays the compile
+    with ThreadPoolExecutor(max_workers=min(threads, len(keys))) as ex:
+        list(ex.map(_one, keys))
 
 
 def _retry_transient(fn, attempts: int = 4, delay_s: float = 5.0):
@@ -1324,6 +1384,20 @@ def wavefront_align(
     # bounded in-flight window caps resident dirs tensors (~1GB each) so
     # a genome-scale batch of hundreds of chunks can't exhaust HBM.
     from telr_tpu.utils import hoststats
+    if not interpret:
+        # cold keys warm CONCURRENTLY before the chunk loop: an AOT
+        # deserialize + persistent-cache compile is ~5-7s of GIL-free
+        # C++ per key, and a genome-scale batch touches ~10 keys — paid
+        # serially inside the dispatch loop that was 134s of a 301s
+        # cold stage-1 (s1_cold r5); as a parallel prologue it is
+        # max-of-loads, not sum-of-loads
+        need = {(mode, width, sp, g_fixed)
+                for _sel, g_fixed, sp in chunks}
+        cold = [k for k in need
+                if (params.tuple(), mode, width, k[2]) not in _WARM]
+        if len(cold) > 1:
+            with hoststats.timer("wave_key_warm"):
+                _warm_keys_blocking(cold, width, mode, params)
     MAX_INFLIGHT = 4
     issued = []
     collected = []
